@@ -1,0 +1,505 @@
+"""Deterministic synthetic Spanner-style change-event log generator.
+
+Produces (FIXTURES.md F1/F2/F3):
+- a base ``repos`` table (pre-existing rows),
+- a change-event log in the Spanner change-stream envelope with a
+  partition DAG (root ``Parent0``, one split, one merge), heartbeats,
+  ``child_partitions`` records, ``partition_end`` markers, exact
+  duplicate records, multi-mod transactions, per-key overwrite chains,
+  DELETE + re-INSERT, hot-repo key skew,
+- optional additive schema evolution (add ``stars`` INT64, widen to
+  FLOAT64) with a ``schema_log`` table.
+
+Everything is a pure function of the seed: same config -> identical
+bytes. Event semantics mirror /root/reference
+db/model/event/DataChangeEvent.java:70-142 and db/model/Mod.java:18-96;
+the DAG split/merge rules mirror db/model/ChildPartition.java:37-48 and
+task/operation/FindPartitionForStreamingOperation.java:32-76 (a child
+streams only after all parents finished).
+
+DO NOT add wall-clock or nondeterministic inputs here: the resume /
+replay tests depend on byte-stable fixtures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import random
+from dataclasses import dataclass, field, asdict
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from debezium_connector_spanner_spark.sources.event_schema import (
+    CHILD_PARTITIONS,
+    DATA_CHANGE,
+    HEARTBEAT,
+    INITIAL_PARTITION_TOKEN,
+    PARTITION_END,
+    REPOS_SCHEMA_V1,
+    REPOS_SCHEMA_V2,
+    REPOS_SCHEMA_V3,
+)
+
+EPOCH_MICROS = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z
+
+VALUE_COLS_V1 = ["commit", "lang", "content"]
+LANGS = ["python", "java", "go", "rust", "ts", "c", "scala", "ruby"]
+
+
+@dataclass(frozen=True)
+class DagNode:
+    token: str
+    t0: float  # active window start (fraction of timeline)
+    t1: float  # active window end
+    k0: float  # owned key-hash range start
+    k1: float  # owned key-hash range end
+    parents: tuple[str, ...]
+
+
+# Fixed topology: root -> split(A,B) -> A splits (A1,A2) -> merge(A2,B)=M.
+DAG: tuple[DagNode, ...] = (
+    DagNode(INITIAL_PARTITION_TOKEN, 0.00, 0.10, 0.0, 1.0, ()),
+    DagNode("t-A", 0.10, 0.55, 0.0, 0.5, (INITIAL_PARTITION_TOKEN,)),
+    DagNode("t-B", 0.10, 0.70, 0.5, 1.0, (INITIAL_PARTITION_TOKEN,)),
+    DagNode("t-A1", 0.55, 1.00, 0.0, 0.25, ("t-A",)),
+    DagNode("t-A2", 0.55, 0.70, 0.25, 0.5, ("t-A",)),
+    DagNode("t-M", 0.70, 1.00, 0.25, 1.0, ("t-A2", "t-B")),
+)
+
+
+def owner_token(key_frac: float, time_frac: float) -> str:
+    for n in DAG:
+        if n.t0 <= time_frac < n.t1 and n.k0 <= key_frac < n.k1:
+            return n.token
+    # time_frac == 1.0 edge: use the last generation
+    for n in DAG:
+        if n.t1 >= 1.0 and n.k0 <= key_frac < n.k1:
+            return n.token
+    raise AssertionError((key_frac, time_frac))
+
+
+@dataclass(frozen=True)
+class GeneratorConfig:
+    seed: int = 42
+    n_repos: int = 20
+    paths_per_repo: int = 10          # cold repos; hot repos get 6x
+    hot_repos: int = 2                # skew: first K repos are hot
+    events_per_key_mean: int = 4
+    duration_s: int = 3600
+    heartbeats_per_token: int = 8
+    pre_exist_frac: float = 0.30
+    dup_frac: float = 0.02            # exact duplicate records (O12)
+    multi_mod_frac: float = 0.06      # two mods in one record
+    delete_frac: float = 0.15
+    value_capture_type: str = "OLD_AND_NEW_VALUES"  # or NEW_ROW
+    schema_evolution: bool = False
+    evolve_add_at: float = 0.40       # stars INT64 appears
+    evolve_widen_at: float = 0.75     # stars -> FLOAT64
+    content_len_max: int = 400
+
+    def keys(self) -> list[tuple[str, str]]:
+        out = []
+        for r in range(self.n_repos):
+            repo = f"org{r:03d}/project-{r}"
+            npaths = self.paths_per_repo * (6 if r < self.hot_repos else 1)
+            for p in range(npaths):
+                out.append((repo, f"src/mod{p // 25}/file_{p:04d}.py"))
+        return out
+
+
+def _h64(*parts) -> int:
+    h = hashlib.blake2b("|".join(str(p) for p in parts).encode(), digest_size=8)
+    return int.from_bytes(h.digest(), "big")
+
+
+def _hex40(*parts) -> str:
+    return hashlib.blake2b("|".join(str(p) for p in parts).encode(), digest_size=20).hexdigest()
+
+
+def _content(repo: str, path: str, j: int, cfg: GeneratorConfig) -> str:
+    body_len = 40 + _h64("len", cfg.seed, repo, path, j) % cfg.content_len_max
+    filler = hashlib.blake2b(
+        f"{cfg.seed}|{repo}|{path}|{j}".encode(), digest_size=32
+    ).hexdigest()
+    body = (filler * (body_len // len(filler) + 1))[:body_len]
+    return f"// {repo}/{path} rev {j}\n{body}\n"
+
+
+def _schema_at(cfg: GeneratorConfig, tf: float):
+    if not cfg.schema_evolution or tf < cfg.evolve_add_at:
+        return REPOS_SCHEMA_V1
+    if tf < cfg.evolve_widen_at:
+        return REPOS_SCHEMA_V2
+    return REPOS_SCHEMA_V3
+
+
+class FixtureBuilder:
+    """Builds the event rows + base table + expected final state."""
+
+    def __init__(self, cfg: GeneratorConfig):
+        self.cfg = cfg
+        self.rows: list[dict] = []
+        self.base_rows: list[dict] = []
+        self.final: dict[tuple[str, str], dict] = {}
+        self.stats = {"data_change": 0, "duplicates": 0, "mods": 0}
+
+    # ------------------------------------------------------------- events
+    def _emit(self, **kw):
+        row = {
+            "record_type": None,
+            "partition_token": None,
+            "commit_ts": None,
+            "record_sequence": None,
+            "server_txn_id": None,
+            "is_last_in_txn_in_partition": None,
+            "table_name": None,
+            "column_types": None,
+            "mods": None,
+            "mod_type": None,
+            "value_capture_type": None,
+            "number_of_records_in_transaction": None,
+            "number_of_partitions_in_transaction": None,
+            "transaction_tag": None,
+            "is_system_transaction": None,
+            "child_partitions": None,
+        }
+        row.update(kw)
+        self.rows.append(row)
+        return row
+
+    def _emit_key_chain(self, key_id: int, repo: str, path: str):
+        cfg = self.cfg
+        rnd = random.Random(_h64("chain", cfg.seed, repo, path))
+        key_frac = _h64("kf", cfg.seed, repo, path) / 2**64
+        m = 1 + rnd.randrange(2 * cfg.events_per_key_mean - 1)
+        fracs = sorted(rnd.uniform(0.002, 0.995) for _ in range(m))
+        micros = []
+        last = -1
+        for f in fracs:
+            us = int(f * cfg.duration_s * 1_000_000)
+            if us <= last:
+                us = last + 1
+            micros.append(us)
+            last = us
+
+        pre_exist = rnd.random() < cfg.pre_exist_frac
+        state: dict | None = None
+        if pre_exist:
+            state = {
+                "commit": _hex40(cfg.seed, repo, path, "base"),
+                "lang": LANGS[_h64("lang", cfg.seed, repo) % len(LANGS)],
+                "content": _content(repo, path, -1, cfg),
+            }
+            self.base_rows.append({"repo": repo, "path": path, **state})
+
+        for j, us in enumerate(micros):
+            tf = us / (cfg.duration_s * 1_000_000)
+            schema = _schema_at(cfg, tf)
+            vcols = schema.value_columns
+            token = owner_token(key_frac, tf)
+            n_mods = 2 if rnd.random() < cfg.multi_mod_frac and state is not None else 1
+            mods = []
+            mod_types = []
+            for mn in range(n_mods):
+                if state is None:
+                    op = "INSERT"
+                elif mn == 0 and rnd.random() < cfg.delete_frac:
+                    op = "DELETE"
+                else:
+                    op = "UPDATE" if state is not None else "INSERT"
+                new_row = None
+                if op == "DELETE":
+                    old = dict(state)
+                    state = None
+                    mods.append(self._mod(repo, path, None, old))
+                elif op == "INSERT":
+                    new_row = self._fresh_row(repo, path, j * 2 + mn, tf, rnd)
+                    state = new_row
+                    mods.append(self._mod(repo, path, dict(new_row), None))
+                else:  # UPDATE
+                    changed = rnd.sample(vcols, 1 + rnd.randrange(len(vcols)))
+                    fresh = self._fresh_row(repo, path, j * 2 + mn, tf, rnd)
+                    old = {c: state.get(c) for c in changed}
+                    new = {c: fresh[c] for c in changed}
+                    state = {**{c: state.get(c) for c in vcols}, **new}
+                    if cfg.value_capture_type == "NEW_ROW":
+                        mods.append(self._mod(repo, path, dict(state), None))
+                    else:
+                        mods.append(self._mod(repo, path, new, old))
+                mod_types.append(op)
+                self.stats["mods"] += 1
+
+            row = self._emit(
+                record_type=DATA_CHANGE,
+                partition_token=token,
+                commit_ts=us,
+                record_sequence=f"{_h64('rs', cfg.seed, repo, path, j) % 10**8:08d}",
+                server_txn_id=f"txn-{key_id:08d}-{j:04d}",
+                is_last_in_txn_in_partition=True,
+                table_name="repos",
+                column_types=schema.column_types_json(),
+                mods=mods,
+                mod_type=mod_types[-1],
+                value_capture_type=cfg.value_capture_type,
+                number_of_records_in_transaction=1,
+                number_of_partitions_in_transaction=1,
+                transaction_tag="",
+                is_system_transaction=False,
+            )
+            self.stats["data_change"] += 1
+            if rnd.random() < cfg.dup_frac:
+                self.rows.append(dict(row))
+                self.stats["duplicates"] += 1
+
+        if state is not None:
+            self.final[(repo, path)] = dict(state)
+
+    def _fresh_row(self, repo, path, rev, tf, rnd) -> dict:
+        cfg = self.cfg
+        row = {
+            "commit": _hex40(cfg.seed, repo, path, rev),
+            "lang": LANGS[_h64("lang", cfg.seed, repo) % len(LANGS)],
+            "content": _content(repo, path, rev, cfg),
+        }
+        if cfg.schema_evolution and tf >= cfg.evolve_add_at:
+            if tf >= cfg.evolve_widen_at:
+                row["stars"] = rnd.randrange(0, 5000) + 0.5  # FLOAT64 epoch
+            else:
+                row["stars"] = rnd.randrange(0, 5000)  # INT64 epoch: JSON int
+        return row
+
+    def _mod(self, repo, path, new: dict | None, old: dict | None) -> dict:
+        return {
+            "keys": json.dumps({"repo": repo, "path": path}, sort_keys=True),
+            "new_values": None if new is None else json.dumps(new, sort_keys=True),
+            "old_values": None if old is None else json.dumps(old, sort_keys=True),
+        }
+
+    # ------------------------------------------- DAG control records
+    def _emit_control(self):
+        cfg = self.cfg
+        total_us = cfg.duration_s * 1_000_000
+
+        def us(frac: float) -> int:
+            return min(int(frac * total_us), total_us - 1)
+
+        children_of: dict[str, list[DagNode]] = {}
+        for n in DAG:
+            for p in n.parents:
+                children_of.setdefault(p, []).append(n)
+
+        for n in DAG:
+            schema = _schema_at(cfg, n.t0)
+            # heartbeats across the active window
+            span = n.t1 - n.t0
+            for k in range(1, cfg.heartbeats_per_token + 1):
+                tf = n.t0 + span * k / (cfg.heartbeats_per_token + 1)
+                self._emit(
+                    record_type=HEARTBEAT,
+                    partition_token=n.token,
+                    commit_ts=us(tf),
+                    record_sequence=f"hb{k:06d}",
+                    table_name="repos",
+                    column_types=schema.column_types_json(),
+                )
+            # child partition records: every parent of a child emits the
+            # child with its FULL parent set (Spanner emits the record in
+            # each parent's stream; ChangeStreamRecordMapper.java:583-587)
+            for child in children_of.get(n.token, []):
+                self._emit(
+                    record_type=CHILD_PARTITIONS,
+                    partition_token=n.token,
+                    commit_ts=us(child.t0),
+                    record_sequence="cp000001",
+                    table_name="repos",
+                    column_types=schema.column_types_json(),
+                    child_partitions=[
+                        {
+                            "token": child.token,
+                            "parent_partition_tokens": list(child.parents),
+                        }
+                    ],
+                )
+            # end-of-partition marker (SpannerChangeStreamService.java:97)
+            self._emit(
+                record_type=PARTITION_END,
+                partition_token=n.token,
+                commit_ts=us(n.t1) if n.t1 < 1.0 else total_us - 1,
+                record_sequence="zz999999",
+                table_name="repos",
+                column_types=schema.column_types_json(),
+            )
+
+    def build(self) -> "FixtureBuilder":
+        for key_id, (repo, path) in enumerate(self.cfg.keys()):
+            self._emit_key_chain(key_id, repo, path)
+        self._emit_control()
+        # stable global order: (commit_ts, token, record_sequence)
+        self.rows.sort(
+            key=lambda r: (r["commit_ts"], r["partition_token"], r["record_sequence"] or "")
+        )
+        return self
+
+
+# ------------------------------------------------------------------ arrow io
+_MOD_T = pa.struct(
+    [("keys", pa.string()), ("new_values", pa.string()), ("old_values", pa.string())]
+)
+_CP_T = pa.struct(
+    [("token", pa.string()), ("parent_partition_tokens", pa.list_(pa.string()))]
+)
+EVENTS_ARROW_SCHEMA = pa.schema(
+    [
+        ("record_type", pa.string()),
+        ("commit_ts", pa.timestamp("us", tz="UTC")),
+        ("record_sequence", pa.string()),
+        ("server_txn_id", pa.string()),
+        ("is_last_in_txn_in_partition", pa.bool_()),
+        ("table_name", pa.string()),
+        ("column_types", pa.string()),
+        ("mods", pa.list_(_MOD_T)),
+        ("mod_type", pa.string()),
+        ("value_capture_type", pa.string()),
+        ("number_of_records_in_transaction", pa.int64()),
+        ("number_of_partitions_in_transaction", pa.int64()),
+        ("transaction_tag", pa.string()),
+        ("is_system_transaction", pa.bool_()),
+        ("child_partitions", pa.list_(_CP_T)),
+    ]
+)
+
+
+def _events_table(rows: list[dict]) -> pa.Table:
+    cols = {}
+    for f in EVENTS_ARROW_SCHEMA:
+        if f.name == "commit_ts":
+            vals = [EPOCH_MICROS + r["commit_ts"] for r in rows]
+        else:
+            vals = [r[f.name] for r in rows]
+        cols[f.name] = pa.array(vals, type=f.type)
+    return pa.table(cols, schema=EVENTS_ARROW_SCHEMA)
+
+
+def write_fixture(out_dir: str, cfg: GeneratorConfig, force: bool = False) -> dict:
+    """Generate + write a fixture; idempotent (skips if manifest matches)."""
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    cfg_json = json.dumps(asdict(cfg), sort_keys=True)
+    if not force and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        if m.get("config_json") == cfg_json:
+            return m
+
+    b = FixtureBuilder(cfg).build()
+
+    tmp = out_dir + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(os.path.join(tmp, "events"), exist_ok=True)
+
+    # one sorted file per partition token -> token-level partition pruning
+    # + commit_ts row-group pruning on the scan path
+    by_token: dict[str, list[dict]] = {}
+    for r in b.rows:
+        by_token.setdefault(r["partition_token"], []).append(r)
+    for token, rows in sorted(by_token.items()):
+        d = os.path.join(tmp, "events", f"partition_token={token}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(_events_table(rows), os.path.join(d, "part-0.parquet"))
+
+    base_cols = ["repo", "path", "commit", "lang", "content"]
+    base = pd.DataFrame(b.base_rows, columns=base_cols).sort_values(["repo", "path"])
+    pq.write_table(
+        pa.Table.from_pandas(base, preserve_index=False),
+        os.path.join(tmp, "base_repos.parquet"),
+    )
+
+    if cfg.schema_evolution:
+        total_us = cfg.duration_s * 1_000_000
+        sl = pa.table(
+            {
+                "effective_ts": pa.array(
+                    [
+                        EPOCH_MICROS,
+                        EPOCH_MICROS + int(cfg.evolve_add_at * total_us),
+                        EPOCH_MICROS + int(cfg.evolve_widen_at * total_us),
+                    ],
+                    type=pa.timestamp("us", tz="UTC"),
+                ),
+                "table_name": ["repos"] * 3,
+                "columns": [
+                    REPOS_SCHEMA_V1.column_types_json(),
+                    REPOS_SCHEMA_V2.column_types_json(),
+                    REPOS_SCHEMA_V3.column_types_json(),
+                ],
+            }
+        )
+        pq.write_table(sl, os.path.join(tmp, "schema_log.parquet"))
+
+    # generator-side expected final state (independent fold oracle lives
+    # in fixtures/oracle.py)
+    fcols = base_cols + (["stars"] if cfg.schema_evolution else [])
+    frows = [
+        {"repo": k[0], "path": k[1], **{c: v.get(c) for c in fcols[2:]}}
+        for k, v in sorted(b.final.items())
+    ]
+    fdf = pd.DataFrame(frows, columns=fcols)
+    if "stars" in fdf.columns:
+        fdf["stars"] = fdf["stars"].astype("float64")
+    pq.write_table(
+        pa.Table.from_pandas(fdf, preserve_index=False),
+        os.path.join(tmp, "expected_final.parquet"),
+    )
+
+    manifest = {
+        "config_json": cfg_json,
+        "events": len(b.rows),
+        "data_change": b.stats["data_change"],
+        "duplicates": b.stats["duplicates"],
+        "mods": b.stats["mods"],
+        "keys": len(cfg.keys()),
+        "final_rows": len(b.final),
+        "base_rows": len(b.base_rows),
+        "epoch_micros": EPOCH_MICROS,
+        "duration_s": cfg.duration_s,
+    }
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+    import shutil
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    return manifest
+
+
+# canonical fixture dirs inside the repo (gitignored)
+FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".fixtures")
+
+
+def fixture_config_for_sf(sf_dir: str, schema_evolution: bool = False) -> GeneratorConfig:
+    """Scale the fixture off the driver sf dir name (sf0.001/0.01/0.1)."""
+    name = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    sf = float(name.replace("sf", "")) if name.startswith("sf") else 0.01
+    scale = max(1, int(sf * 1000))  # 1 / 10 / 100
+    return GeneratorConfig(
+        n_repos=10 * scale,
+        paths_per_repo=8,
+        hot_repos=max(1, scale // 2),
+        schema_evolution=schema_evolution,
+    )
+
+
+def ensure_fixture(sf_dir: str, schema_evolution: bool = False) -> str:
+    name = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    suffix = "-evo" if schema_evolution else ""
+    out = os.path.join(FIXTURE_ROOT, f"{name}{suffix}")
+    write_fixture(out, fixture_config_for_sf(sf_dir, schema_evolution))
+    return out

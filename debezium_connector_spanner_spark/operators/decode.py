@@ -1,0 +1,160 @@
+"""Decode operators D1-D7 (SURVEY.md §2.2).
+
+Record-type demux, mod explosion with positional mod_number, JSON row
+images -> typed structs. Two decode paths:
+
+- ``from_json`` (JVM, whole-stage-codegen, the hot path), and
+- an Arrow-batched pandas UDF (``decode_json_pandas``) for the
+  dynamic-schema fallback, mirroring the reference's
+  cache-invalidate-and-retry (/root/reference
+  db/metadata/SchemaRegistry.java:78-86). Never per-row Python.
+
+Mod null-pattern semantics (db/model/Mod.java:18-96): keys always
+present; old_values null on INSERT; new_values null on DELETE. Per-mod
+``op`` is derived from the null pattern first (a single record can mix a
+DELETE and a re-INSERT across mods), falling back to the record-level
+mod_type mapping (processor/SpannerChangeRecordEmitter.java:42-52).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from debezium_connector_spanner_spark.sources.event_schema import (
+    DATA_CHANGE,
+    TableSchema,
+)
+
+SEQ_TYPE = T.StructType(
+    [
+        T.StructField("ts", T.LongType()),      # commit_ts in epoch micros
+        T.StructField("rs", T.StringType()),    # record_sequence (zero-padded)
+        T.StructField("mod", T.IntegerType()),  # mod_number (position in mods)
+    ]
+)
+
+
+def seq_col() -> F.Column:
+    """Total order within a key: (commit_ts, record_sequence, mod_number).
+
+    This is the reference's record identity order
+    (context/offset/SpannerOffsetContextFactory.java:24-33) minus the
+    token/txn disambiguators, which never differ for one key's events.
+    """
+    return F.struct(
+        F.unix_micros(F.col("commit_ts")).alias("ts"),
+        F.col("record_sequence").alias("rs"),
+        F.col("mod_number").alias("mod"),
+    )
+
+
+def explode_mods(events: DataFrame) -> DataFrame:
+    """D3: one row per (record, mod), positional mod_number."""
+    data = events.where(F.col("record_type") == DATA_CHANGE)
+    return data.select(
+        "partition_token",
+        "commit_ts",
+        "record_sequence",
+        "server_txn_id",
+        "mod_type",
+        "value_capture_type",
+        "column_types",
+        F.posexplode("mods").alias("mod_number", "mod"),
+    )
+
+
+def decode_mods(
+    events: DataFrame,
+    schema: TableSchema,
+    use_pandas_udf: bool = False,
+) -> DataFrame:
+    """D2+D6+D7: explode mods and decode JSON images against `schema`.
+
+    Output columns: key columns (flattened), ``seq`` (ordering struct),
+    ``op`` ('c'/'u'/'d'), ``vals`` (new-value struct), ``olds``
+    (old-value struct), plus identity columns for dedup/envelope.
+    """
+    key_struct = schema.spark_struct(schema.key_columns)
+    val_struct = schema.spark_struct(schema.value_columns)
+
+    m = explode_mods(events)
+    if use_pandas_udf:
+        keys = decode_json_pandas(key_struct)(F.col("mod.keys"))
+        vals = decode_json_pandas(val_struct)(F.col("mod.new_values"))
+        olds = decode_json_pandas(val_struct)(F.col("mod.old_values"))
+    else:
+        keys = F.from_json(F.col("mod.keys"), key_struct)
+        vals = F.from_json(F.col("mod.new_values"), val_struct)
+        olds = F.from_json(F.col("mod.old_values"), val_struct)
+
+    # NEW_ROW capture can't distinguish c/u by null pattern; use mod_type.
+    op = (
+        F.when(F.col("mod.new_values").isNull(), F.lit("d"))
+        .when(
+            F.col("value_capture_type") == "NEW_ROW",
+            F.when(F.col("mod_type") == "INSERT", F.lit("c")).otherwise(F.lit("u")),
+        )
+        .when(F.col("mod.old_values").isNull(), F.lit("c"))
+        .otherwise(F.lit("u"))
+    )
+
+    out = m.select(
+        "partition_token",
+        "commit_ts",
+        "record_sequence",
+        "server_txn_id",
+        "mod_number",
+        seq_col().alias("seq"),
+        op.alias("op"),
+        keys.alias("keys"),
+        vals.alias("vals"),
+        olds.alias("olds"),
+    )
+    return out.select("*", *[F.col(f"keys.{k}").alias(k) for k in schema.key_columns])
+
+
+def dedup_identity(decoded: DataFrame) -> DataFrame:
+    """O12: drop exact duplicate change records by identity
+    (partition_token, commit_ts, server_txn_id, record_sequence,
+    mod_number). The merge fold is max-based and absorbs duplicates for
+    free, so the MERGE path skips this shuffle; the envelope-emission
+    path applies it (exactly-once delivery of the change stream)."""
+    return decoded.dropDuplicates(
+        ["partition_token", "commit_ts", "server_txn_id", "record_sequence", "mod_number"]
+    )
+
+
+def decode_json_pandas(struct_type: T.StructType):
+    """Arrow-vectorized JSON object decode -> struct column.
+
+    Used when the decode schema is discovered per batch (dynamic schema
+    epochs) — the pandas UDF is rebuilt per schema version, mirroring the
+    reference's schema-registry invalidation. Batched via Arrow; the JSON
+    parse itself is C (pandas/stdlib json) per element.
+    """
+    fields = [(f.name, f.dataType.simpleString()) for f in struct_type.fields]
+
+    @pandas_udf(struct_type)
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        parsed = s.map(lambda x: json.loads(x) if x is not None else None)
+        cols = {}
+        for name, typ in fields:
+            vals = parsed.map(lambda o: None if o is None else o.get(name))
+            if typ in ("bigint", "int"):
+                vals = pd.to_numeric(vals, errors="coerce").astype("Int64")
+            elif typ in ("double", "float"):
+                vals = pd.to_numeric(vals, errors="coerce").astype("float64")
+            elif typ == "boolean":
+                vals = vals.astype("boolean")
+            elif typ == "string":
+                vals = vals.map(lambda v: v if v is None or isinstance(v, str) else json.dumps(v))
+            cols[name] = vals
+        return pd.DataFrame(cols)
+
+    return _decode

@@ -1,0 +1,172 @@
+"""Last-writer-wins fold + bucketed MERGE (SURVEY.md §2.3 O5/O12, §2.4 K1).
+
+The fold is a SINGLE hash aggregation per batch, built only from
+max/max-of-struct aggregates so Spark's partial (map-side) aggregation
+pre-reduces hot keys before the shuffle — this is the skew story for the
+north rule's "hot-key repos salted before the merge-apply shuffle": the
+map-side combine is equivalent to per-input-partition salting, with AQE
+handling any residual shuffle skew. No window functions (a window would
+shuffle the full event set un-combined).
+
+Fold semantics per key over a batch of decoded mods, ordered by
+seq = (commit_ts, record_sequence, mod_number):
+
+- ``_last``     max(struct(seq, op))                  -> was the final event a DELETE?
+- ``_del``      max(seq) where op = 'd'               -> the delete barrier
+- per column c  max(struct(seq, c)) where c non-null  -> latest written value
+
+Reconstruction: a column's folded value survives iff its seq is after the
+delete barrier; otherwise the delete wiped it. Existing table rows rank
+before every batch event (batches are applied in commit-ts order by the
+engine's partition-DAG gate), so on MERGE an existing value survives only
+if the batch had no delete for that key. Exact duplicate records (O12)
+are absorbed because every aggregate is max-based (idempotent) — the
+explicit dropDuplicates shuffle is reserved for the envelope-emission
+path (operators/decode.py dedup_identity).
+
+MERGE is copy-on-write per key-bucket: only buckets containing changed
+keys are read + rewritten (sources/lake.py), keeping batch cost O(delta),
+not O(table), at 10^10-event scale.
+
+Reference parity: replaces the Kafka emit + commit-callback machinery
+(/root/reference processor/SpannerChangeRecordEmitter.java:54-129,
+FinishingPartitionManager.java:45-153) with an equivalent
+happens-before: a partition's state may move to FINISHED only after the
+snapshot containing its records commits (engine.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from debezium_connector_spanner_spark.sources.lake import LakeTable, bucket_expr
+
+CDC_TS_COL = "__cdc_ts"  # last applied commit_ts (epoch micros) per row
+
+
+def fold_changes(decoded: DataFrame, key_cols: list[str], value_cols: list[str]) -> DataFrame:
+    """One row per key: post-fold values + delete flags (single agg pass).
+
+    Input: decode_mods output (key cols flattened, seq struct, op, vals).
+    """
+    aggs = [
+        F.max(F.struct(F.col("seq"), F.col("op"))).alias("_last"),
+        F.max(F.when(F.col("op") == "d", F.col("seq"))).alias("_del"),
+        F.count(F.lit(1)).alias("_n_mods"),
+    ]
+    for c in value_cols:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col(f"vals.{c}").isNotNull(),
+                    F.struct(F.col("seq").alias("s"), F.col(f"vals.{c}").alias("v")),
+                )
+            ).alias(f"_m_{c}")
+        )
+    g = decoded.groupBy(*key_cols).agg(*aggs)
+
+    cols = [F.col(c) for c in key_cols]
+    for c in value_cols:
+        survives = F.col(f"_m_{c}").isNotNull() & (
+            F.col("_del").isNull() | (F.col(f"_m_{c}.s") > F.col("_del"))
+        )
+        cols.append(F.when(survives, F.col(f"_m_{c}.v")).alias(c))
+    cols += [
+        (F.col("_last.op") == "d").alias("_is_delete"),
+        F.col("_del").isNotNull().alias("_had_delete"),
+        F.col("_last.seq.ts").alias("_ts"),
+        F.col("_n_mods"),
+    ]
+    return g.select(*cols)
+
+
+def merge_into(
+    table: LakeTable,
+    folded: DataFrame,
+    target_schema=None,
+    summary: dict | None = None,
+) -> tuple[int, list[int]]:
+    """MERGE a folded batch into the table (copy-on-write per bucket).
+
+    Equivalent to:
+        MERGE INTO t USING s ON <keys>
+        WHEN MATCHED AND s._is_delete THEN DELETE
+        WHEN MATCHED THEN UPDATE SET <fold-aware column merge>
+        WHEN NOT MATCHED AND NOT s._is_delete THEN INSERT
+
+    ``target_schema`` (StructType) may extend/widen the table schema —
+    online additive schema evolution applied with the same commit.
+    Returns (new_snapshot_id, touched_buckets).
+    """
+    key_cols = table.key_cols()
+    schema = target_schema or table.schema()
+    existing_names = set(table.schema().fieldNames())
+    value_cols = [
+        f.name for f in schema.fields if f.name not in key_cols and f.name != CDC_TS_COL
+    ]
+    n = table.n_buckets()
+
+    # persist: the fold feeds both the touched-bucket probe and the merge
+    # join — without this the decode+fold shuffle would run twice
+    folded = folded.withColumn("_b", bucket_expr(key_cols, n)).persist()
+    # touched-bucket set is tiny (<= n_buckets): cheap driver collect that
+    # buys O(delta) instead of O(table) per batch
+    touched = sorted(r["_b"] for r in folded.select("_b").distinct().collect())
+    if not touched:
+        folded.unpersist()
+        return table.current_snapshot_id(), []
+
+    target_types = {f.name: f.dataType for f in schema.fields}
+    existing = table.read(buckets=touched).select(
+        *key_cols,
+        *[
+            (F.col(c) if c in existing_names else F.lit(None))
+            .cast(target_types[c])
+            .alias(f"__t_{c}")
+            for c in value_cols
+        ],
+        (F.col(CDC_TS_COL) if CDC_TS_COL in existing_names else F.lit(None))
+        .cast("long")
+        .alias(f"__t_{CDC_TS_COL}"),
+    )
+    src = folded.select(
+        *key_cols,
+        *[F.col(c).alias(f"__s_{c}") for c in value_cols],
+        "_is_delete",
+        "_had_delete",
+        "_ts",
+        F.lit(True).alias("_s_present"),
+    )
+    j = existing.join(src, on=key_cols, how="full_outer")
+    # drop: key present in batch and folded to a tombstone
+    j = j.where(F.col("_s_present").isNull() | ~F.col("_is_delete"))
+
+    out = [F.col(c) for c in key_cols]
+    for c in value_cols:
+        out.append(
+            F.when(F.col("_s_present").isNull(), F.col(f"__t_{c}"))
+            .when(F.col("_had_delete"), F.col(f"__s_{c}"))
+            .otherwise(F.coalesce(F.col(f"__s_{c}"), F.col(f"__t_{c}")))
+            .alias(c)
+        )
+    out.append(
+        F.when(F.col("_s_present").isNotNull(), F.col("_ts"))
+        .otherwise(F.col(f"__t_{CDC_TS_COL}"))
+        .cast("long")
+        .alias(CDC_TS_COL)
+    )
+    merged = j.select(*out)
+
+    from pyspark.sql import types as T
+
+    write_schema = schema
+    if CDC_TS_COL not in schema.fieldNames():
+        write_schema = T.StructType(
+            list(schema.fields) + [T.StructField(CDC_TS_COL, T.LongType(), True)]
+        )
+    try:
+        sid = table.commit_merge(merged, touched, schema=write_schema, summary=summary)
+    finally:
+        folded.unpersist()
+    return sid, touched

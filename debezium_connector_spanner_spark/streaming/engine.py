@@ -1,0 +1,425 @@
+"""The CDC replay engine: incremental micro-batches over the change log.
+
+Structured-Streaming-style tail with a driver-side partition-DAG state
+machine. Per batch (reference parity in parentheses, files under
+/root/reference):
+
+1. **Gate** (O1, task/operation/FindPartitionForStreamingOperation.java:32-76):
+   a CREATED partition becomes READY only when all parents are FINISHED.
+   Child registrations are deduped (O3) and a merge child is registered
+   once even though every parent's stream announces it (O2,
+   task/ConflictResolver.java:23-34 — single-driver state makes the
+   min-parent-owner rule a plain dedup).
+2. **Scan**: one predicate-pruned read of the event log for ALL active
+   partitions at once — partition_token IN (active) via broadcast join
+   against the per-token offset table, commit_ts in (offset, batch_end].
+   Token dirs + sorted row groups give partition/rowgroup pruning.
+3. **Progress**: per-token aggregates (count, max ts, end markers) drive
+   offsets, heartbeat handling (K2) and per-partition lineage metrics (M1/M3).
+4. **Decode + fold + MERGE** (D1-D9, O5/O12, K1): vectorized decode,
+   single-pass LWW fold, copy-on-write bucket MERGE into the LakeTable.
+5. **Watermark** (O9, task/LowWatermarkCalculator.java:47-169):
+   min over non-finished partitions of coalesce(offset, start_ts).
+6. **Commit**: snapshot committed FIRST, then the checkpoint (offsets,
+   DAG state, schema version, snapshot id) via atomic rename. On resume,
+   a snapshot newer than the checkpoint is rolled back -> exactly-once
+   (replaces FinishingPartitionManager.java:55-114 commit tracking).
+7. **Schema registry** (db/metadata/SchemaRegistry.java:78-179,
+   SchemaMerger.java:24-53): distinct column_types observed in the batch
+   are merged additively (union of columns, new wins per column;
+   INT64->FLOAT64 widening) and applied to the sink before decode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_connector_spanner_spark.operators.decode import decode_mods
+from debezium_connector_spanner_spark.operators.merge import (
+    CDC_TS_COL,
+    fold_changes,
+    merge_into,
+)
+from debezium_connector_spanner_spark.sources.event_schema import (
+    CHILD_PARTITIONS,
+    DATA_CHANGE,
+    HEARTBEAT,
+    INITIAL_PARTITION_TOKEN,
+    PARTITION_END,
+    TableSchema,
+)
+from debezium_connector_spanner_spark.sources.lake import LakeTable
+
+CREATED, READY, FINISHED = "CREATED", "READY", "FINISHED"
+# states mirror kafka/internal/model/PartitionStateEnum.java:8-21 collapsed
+# to the three that matter without a remote thread pool
+
+
+@dataclass
+class TokenState:
+    token: str
+    parents: list[str]
+    start_us: int
+    state: str = CREATED
+    offset_us: int | None = None  # exclusive low bound of the next scan
+
+
+_WIDTH = {"INT64": 1, "FLOAT32": 2, "FLOAT64": 3}
+
+
+def merge_schemas(a: TableSchema, b: TableSchema) -> TableSchema:
+    """Additive union of columns (SchemaMerger.java:24-53); on a type
+    conflict the WIDER numeric type wins (INT64 -> FLOAT64 widening), so
+    the merge is order-insensitive when a batch observes several schema
+    epochs at once."""
+    cols = {c.name: c for c in a.columns}
+    for c in b.columns:
+        prev = cols.get(c.name)
+        if prev is None:
+            cols[c.name] = c
+        elif prev.type_code != c.type_code:
+            pw, cw = _WIDTH.get(prev.type_code), _WIDTH.get(c.type_code)
+            if pw is not None and cw is not None:
+                cols[c.name] = c if cw > pw else prev
+            else:
+                cols[c.name] = c  # non-numeric conflict: newest wins
+    ordered = sorted(cols.values(), key=lambda c: c.ordinal_position)
+    return TableSchema(table=b.table, columns=tuple(ordered))
+
+
+class CdcReplayEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        events_path: str,
+        table_root: str,
+        checkpoint_dir: str,
+        start_us: int,
+        end_us: int,
+        n_batches: int = 8,
+        initial_schema: TableSchema | None = None,
+        base_df: DataFrame | None = None,
+        n_buckets: int = 16,
+        use_pandas_udf_decode: bool = False,
+    ):
+        self.spark = spark
+        self.events_path = events_path
+        self.checkpoint_dir = checkpoint_dir
+        self.use_pandas_udf_decode = use_pandas_udf_decode
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+        ckpt = self._load_latest_checkpoint()
+        if ckpt is None:
+            if initial_schema is None:
+                raise ValueError("initial_schema required for a fresh engine")
+            self.schema = initial_schema
+            self.start_us, self.end_us, self.n_batches = start_us, end_us, n_batches
+            self.batch_id = -1
+            self.tokens: dict[str, TokenState] = {
+                INITIAL_PARTITION_TOKEN: TokenState(
+                    INITIAL_PARTITION_TOKEN, [], start_us, READY, None
+                )
+            }
+            self.table = LakeTable.create(
+                spark,
+                table_root,
+                initial_schema.spark_struct(),
+                initial_schema.key_columns,
+                n_buckets=n_buckets,
+                initial_df=base_df,
+                overwrite=False,
+            )
+            self.watermark_us = start_us
+            self._checkpoint(self.table.current_snapshot_id())
+        else:
+            self.schema = TableSchema.from_column_types_json("repos", ckpt["schema_cols"])
+            self.start_us, self.end_us = ckpt["start_us"], ckpt["end_us"]
+            self.n_batches = ckpt["n_batches"]
+            self.batch_id = ckpt["batch_id"]
+            self.tokens = {
+                t: TokenState(t, s["parents"], s["start_us"], s["state"], s["offset_us"])
+                for t, s in ckpt["tokens"].items()
+            }
+            self.table = LakeTable(spark, table_root)
+            # exactly-once resume: discard any snapshot not covered by the
+            # checkpoint (crash between data commit and state commit)
+            if self.table.current_snapshot_id() != ckpt["snapshot_id"]:
+                self.table.rollback(ckpt["snapshot_id"])
+            self.watermark_us = ckpt["watermark_us"]
+        self.metrics_path = os.path.join(checkpoint_dir, "metrics.jsonl")
+
+    # ------------------------------------------------------------- ckpt
+    def _ckpt_path(self, batch_id: int) -> str:
+        return os.path.join(self.checkpoint_dir, f"ckpt-{batch_id + 1:06d}.json")
+
+    def _load_latest_checkpoint(self) -> dict | None:
+        latest = os.path.join(self.checkpoint_dir, "LATEST")
+        if not os.path.exists(latest):
+            return None
+        with open(latest) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.checkpoint_dir, name)) as f:
+            return json.load(f)
+
+    def _checkpoint(self, snapshot_id: int) -> None:
+        state = {
+            "batch_id": self.batch_id,
+            "start_us": self.start_us,
+            "end_us": self.end_us,
+            "n_batches": self.n_batches,
+            "snapshot_id": snapshot_id,
+            "watermark_us": self.watermark_us,
+            "schema_cols": self.schema.column_types_json(),
+            "tokens": {
+                t: {
+                    "parents": s.parents,
+                    "start_us": s.start_us,
+                    "state": s.state,
+                    "offset_us": s.offset_us,
+                }
+                for t, s in self.tokens.items()
+            },
+        }
+        path = self._ckpt_path(self.batch_id)
+        tmp = path + "." + uuid.uuid4().hex
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
+        tmp2 = os.path.join(self.checkpoint_dir, ".LATEST.tmp")
+        with open(tmp2, "w") as f:
+            f.write(os.path.basename(path))
+        os.replace(tmp2, os.path.join(self.checkpoint_dir, "LATEST"))
+
+    # ------------------------------------------------------------- plan
+    def _boundaries(self) -> list[int]:
+        span = self.end_us - self.start_us
+        return [
+            self.start_us + span * (i + 1) // self.n_batches for i in range(self.n_batches)
+        ]
+
+    def _gate(self) -> list[str]:
+        """O1: CREATED -> READY when every parent is FINISHED (or unknown =
+        GC'd, 'no parent exists anymore')."""
+        for s in self.tokens.values():
+            if s.state == CREATED and all(
+                self.tokens[p].state == FINISHED for p in s.parents if p in self.tokens
+            ):
+                s.state = READY
+        return [t for t, s in self.tokens.items() if s.state == READY]
+
+    # -------------------------------------------------------------- run
+    def run(self, max_batches: int | None = None) -> dict:
+        bounds = self._boundaries()
+        done = 0
+        totals = {"events": 0, "mods": 0, "wall_s": 0.0}
+        while self.batch_id + 1 < self.n_batches:
+            if max_batches is not None and done >= max_batches:
+                break
+            m = self._run_batch(self.batch_id + 1, bounds[self.batch_id + 1])
+            totals["events"] += m["events"]
+            totals["mods"] += m["mods"]
+            totals["wall_s"] += m["wall_s"]
+            done += 1
+        totals["batches"] = done
+        totals["events_per_sec"] = (
+            totals["events"] / totals["wall_s"] if totals["wall_s"] else 0.0
+        )
+        return totals
+
+    def _events_df(self) -> DataFrame:
+        if not hasattr(self, "_events_cached"):
+            from debezium_connector_spanner_spark.sources.event_schema import (
+                EVENT_LOG_SCHEMA,
+            )
+
+            # pin the schema: no per-batch footer/partition inference
+            self._events_cached = self.spark.read.schema(EVENT_LOG_SCHEMA).parquet(
+                os.path.join(self.events_path, "events")
+            )
+        return self._events_cached
+
+    def _active_scan(self, active: list[str], batch_end_us: int) -> DataFrame:
+        offsets = self.spark.createDataFrame(
+            [
+                (t, self.tokens[t].offset_us or self.tokens[t].start_us - 1)
+                for t in active
+            ],
+            "partition_token string, _offset_us long",
+        )
+        # partition pruning on token, then per-token offset window via a
+        # broadcast join (offsets table is O(active partitions), tiny)
+        ev = self._events_df().where(F.col("partition_token").isin(active))
+        ev = ev.join(F.broadcast(offsets), "partition_token")
+        return ev.where(
+            (F.unix_micros("commit_ts") > F.col("_offset_us"))
+            & (F.unix_micros("commit_ts") <= F.lit(batch_end_us))
+        )
+
+    def _run_batch(self, batch_id: int, batch_end_us: int) -> dict:
+        t0 = time.monotonic()
+        active = self._gate()
+        scan = self._active_scan(active, batch_end_us) if active else None
+
+        events = 0
+        mods = 0
+        lineage = []
+        new_children: dict[str, list[str]] = {}
+        finished: list[str] = []
+        snapshot_id = self.table.current_snapshot_id()
+
+        if scan is not None:
+            # --- control/progress pass: ONE small aggregate job drives
+            # offsets, heartbeats, end markers, schema discovery AND child
+            # registration (children piggyback as collect_list) ---
+            prog = (
+                scan.groupBy("partition_token")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max(F.unix_micros("commit_ts")).alias("max_ts_us"),
+                    F.sum((F.col("record_type") == DATA_CHANGE).cast("long")).alias("n_data"),
+                    F.sum((F.col("record_type") == HEARTBEAT).cast("long")).alias("n_hb"),
+                    F.max((F.col("record_type") == PARTITION_END).cast("boolean")).alias("ended"),
+                    F.collect_set(
+                        F.when(
+                            F.col("record_type") == DATA_CHANGE, F.col("column_types")
+                        )
+                    ).alias("schemas"),
+                    F.collect_list(
+                        F.when(
+                            F.col("record_type") == CHILD_PARTITIONS,
+                            F.struct(
+                                F.col("child_partitions").alias("cps"),
+                                F.unix_micros("commit_ts").alias("start_us"),
+                            ),
+                        )
+                    ).alias("children"),
+                )
+                .collect()
+            )
+            child_rows = [
+                {
+                    "token": cp["token"],
+                    "parent_partition_tokens": cp["parent_partition_tokens"],
+                    "start_us": c["start_us"],
+                }
+                for r in prog
+                for c in r["children"]
+                for cp in c["cps"]
+            ]
+
+            # schema evolution: merge every observed column_types payload
+            observed = set()
+            any_data = False
+            for r in prog:
+                events += r["n"]
+                lineage.append(
+                    {
+                        "token": r["partition_token"],
+                        "events": r["n"],
+                        "data": r["n_data"],
+                        "heartbeats": r["n_hb"],
+                        "max_ts_us": r["max_ts_us"],
+                    }
+                )
+                if r["n_data"]:
+                    any_data = True
+                for s_json in r["schemas"]:
+                    observed.add(s_json)
+                if r["ended"]:
+                    finished.append(r["partition_token"])
+            for s_json in sorted(observed):
+                incoming = TableSchema.from_column_types_json(self.schema.table, s_json)
+                self.schema = merge_schemas(self.schema, incoming)
+
+            # O3 dedup: register each child once, whichever parent
+            # announced it (O2 merge-owner rule collapses under one driver)
+            for r in child_rows:
+                tok = r["token"]
+                if tok not in self.tokens and tok not in new_children:
+                    new_children[tok] = (list(r["parent_partition_tokens"]), r["start_us"])
+
+            # --- data pass: decode -> fold -> MERGE ---
+            if any_data:
+                decoded = decode_mods(
+                    scan, self.schema, use_pandas_udf=self.use_pandas_udf_decode
+                )
+                folded = fold_changes(
+                    decoded, self.schema.key_columns, self.schema.value_columns
+                )
+                snapshot_id, touched = merge_into(
+                    self.table,
+                    folded,
+                    target_schema=self._sink_schema(),
+                    summary={"batch_id": batch_id, "events": events},
+                )
+                mods = sum(r["n_data"] for r in prog)
+
+        # state transitions AFTER the data commit (O6 happens-before)
+        for tok, (parents, start_us) in new_children.items():
+            self.tokens[tok] = TokenState(tok, parents, start_us, CREATED, None)
+        for t in active:
+            self.tokens[t].offset_us = batch_end_us
+        for t in finished:
+            self.tokens[t].state = FINISHED
+
+        # O9 low watermark: min over non-finished of coalesce(offset, start)
+        live = [s for s in self.tokens.values() if s.state != FINISHED]
+        self.watermark_us = (
+            min((s.offset_us if s.offset_us is not None else s.start_us) for s in live)
+            if live
+            else batch_end_us
+        )
+        # O13 GC: drop FINISHED tokens none of whose live tokens reference
+        referenced = {p for s in self.tokens.values() for p in s.parents if s.state != FINISHED}
+        for t in [
+            t
+            for t, s in self.tokens.items()
+            if s.state == FINISHED and t not in referenced and t != INITIAL_PARTITION_TOKEN
+        ]:
+            # keep bounded at 10^10 scale; safe because gate treats unknown
+            # parents as finished ("no parent exists anymore")
+            del self.tokens[t]
+
+        self.batch_id = batch_id
+        self._checkpoint(snapshot_id)
+
+        wall = time.monotonic() - t0
+        metric = {
+            "batch_id": batch_id,
+            "batch_end_us": batch_end_us,
+            "events": events,
+            "mods": mods,
+            "active_tokens": len(active),
+            "finished": finished,
+            "new_tokens": sorted(new_children),
+            "watermark_us": self.watermark_us,
+            "snapshot_id": snapshot_id,
+            "wall_s": round(wall, 4),
+            "events_per_sec": round(events / wall, 2) if wall > 0 else 0.0,
+            "lineage": lineage,
+        }
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(metric) + "\n")
+        return metric
+
+    # ---------------------------------------------------------- schema
+    def _sink_schema(self) -> T.StructType:
+        return self.schema.spark_struct()
+
+    # ------------------------------------------------------------ views
+    def final_state(self) -> DataFrame:
+        return self.table.read().drop(CDC_TS_COL)
+
+    def metrics(self) -> list[dict]:
+        if not os.path.exists(self.metrics_path):
+            return []
+        with open(self.metrics_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
