@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    -> flagship: full CDC replay at sf0.001, final repos state
+queries()       -> every implemented operator/query (SURVEY.md §2)
+oracle_sql()    -> DuckDB-equivalent SQL per query (correctness gate)
+
+CDC queries run over a deterministic synthetic Spanner-style change-event
+fixture generated under /root/repo/.fixtures/<sf>/ (pure function of the
+scale factor; see debezium_connector_spanner_spark/fixtures/generator.py).
+Their oracle SQL re-derives the same answers in DuckDB directly from the
+fixture parquet (read_parquet with hive_partitioning), independent of any
+Spark code. Analytics/pipeline queries run on the driver's testdata
+tables (pre-registered DuckDB views).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
+from debezium_connector_spanner_spark.plans.analytics_queries import (
+    ANALYTIC_ORACLES,
+    ANALYTIC_QUERIES,
+)
+from debezium_connector_spanner_spark.plans.cdc_queries import (
+    CDC_QUERIES,
+    cdc_oracles,
+    ensure_fixture,
+    q_cdc_final_state,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay (DAG gate -> decode -> LWW fold -> MERGE
+    -> checkpoint) at sf0.001; returns the final repos table state."""
+    return q_cdc_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(CDC_QUERIES)
+    out.update(ANALYTIC_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # the CDC oracle SQL reads the sf0.01 fixture parquet; make sure it
+    # exists even if the oracle runs before the Spark side
+    try:
+        ensure_fixture("/root/testdata/sf0.01")
+    except Exception:
+        pass
+    out: dict[str, str] = {}
+    out.update(cdc_oracles("sf0.01"))
+    out.update(ANALYTIC_ORACLES)
+    return out

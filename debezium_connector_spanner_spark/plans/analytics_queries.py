@@ -1,0 +1,300 @@
+"""Analytics + training-data-pipeline queries over the driver testdata
+tables (region nation customer supplier part orders lineitem events
+documents embeddings), each paired with a DuckDB oracle.
+
+Hash-stability rules (the driver compares order-insensitive value hashes):
+- no raw TIMESTAMP columns in output — surface epoch micros (BIGINT)
+- no float aggregates — money/quantity sums are computed in exact integer
+  space (cents / basis points) in BOTH engines
+- every computed column aliased identically in Spark and SQL
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _us(col) -> F.Column:
+    """epoch micros from a (possibly NTZ) timestamp column; session tz is
+    UTC so NTZ->LTZ cast matches DuckDB's epoch_us on naive timestamps."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ----------------------------------------------------------------- TPC-H
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (integer-exact money math)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_e2 = F.round(F.col("l_discount") * 100).cast("long")
+    tax_e2 = F.round(F.col("l_tax") * 100).cast("long")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(price_c).alias("sum_base_price_cents"),
+            F.sum(price_c * (100 - disc_e2)).alias("sum_disc_price_e4"),
+            F.sum(price_c * (100 - disc_e2) * (100 + tax_e2)).alias("sum_charge_e6"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_price_cents,
+  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS sum_disc_price_e4,
+  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT))
+      * (100 + CAST(round(l_tax*100) AS BIGINT))) AS sum_charge_e6,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority (broadcast dim join; no LIMIT so the
+    compare is order-insensitive)."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_e2 = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", _us("o_orderdate").alias("o_orderdate_us"))
+        .agg(F.sum(price_c * (100 - disc_e2)).alias("revenue_e4"))
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate_us
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue by nation (multi-way join
+    with two broadcast dims + co-partnered fact join)."""
+    for n in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _t(spark, sf_dir, n).createOrReplaceTempView(f"_v_{n}")
+    return spark.sql(
+        """
+        SELECT n_name,
+               sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4
+        FROM _v_customer
+        JOIN _v_orders   ON c_custkey = o_custkey
+        JOIN _v_lineitem ON l_orderkey = o_orderkey
+        JOIN _v_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN _v_nation   ON s_nationkey = n_nationkey
+        JOIN _v_region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        """
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# ----------------------------------------------------------- events (CDC-ish)
+def q_events_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins latest event per user — the same max-of-struct
+    fold the CDC merge uses (O5/O12), on the driver's events table."""
+    ev = _t(spark, sf_dir, "events")
+    latest = F.max(
+        F.struct(
+            _us("ts").alias("ts_us"),
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("event_type"),
+            F.col("value").alias("value"),
+        )
+    ).alias("_m")
+    return (
+        ev.groupBy("user_id")
+        .agg(latest)
+        .select(
+            "user_id",
+            F.col("_m.ts_us").alias("last_ts_us"),
+            F.col("_m.event_id").alias("last_event_id"),
+            F.col("_m.event_type").alias("last_event_type"),
+            F.col("_m.value").alias("last_value"),
+        )
+    )
+
+
+SQL_EVENTS_LWW = """
+SELECT user_id,
+  m['ts_us'] AS last_ts_us,
+  m['event_id'] AS last_event_id,
+  m['event_type'] AS last_event_type,
+  m['value'] AS last_value
+FROM (
+  SELECT user_id,
+    max(struct_pack(ts_us := epoch_us(ts), event_id := event_id,
+                    event_type := event_type, value := value)) AS m
+  FROM events GROUP BY user_id
+)
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (watermark-style hourly rollup)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        _us(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("sum_value_e6"),
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  sum(CAST(round(value*1000000) AS BIGINT)) AS sum_value_e6
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate detection on (user_id, event_type, value): the
+    hash-groupBy dedup pattern at pipeline scale."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type", F.round(F.col("value") * 1000000).cast("long").alias("value_e6"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+SQL_EVENTS_DEDUP = """
+SELECT user_id, event_type, CAST(round(value*1000000) AS BIGINT) AS value_e6, count(*) AS n
+FROM events GROUP BY 1,2,3 HAVING count(*) > 1
+"""
+
+
+# ------------------------------------------------------- documents pipeline
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup via content hash (hash-groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+SQL_DOCS_EXACT_DEDUP = """
+SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length / punctuation ratios) —
+    whitespace tokenizer expressed identically in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    n_chars = F.length("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(toks).alias("n_tokens"),
+        n_chars.alias("n_chars_computed"),
+        F.length(F.regexp_replace(F.col("text"), "[^.!?,;:]", "")).alias("n_punct"),
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).alias("n_digits"),
+    )
+
+
+SQL_DOCS_TOKEN_STATS = """
+SELECT doc_id, lang,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+  length(text) AS n_chars_computed,
+  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+  length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+FROM documents
+"""
+
+
+def q_docs_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_DOCS_LANG_BREAKDOWN = """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY 1,2
+"""
+
+
+ANALYTIC_QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "events_lww_latest": q_events_lww_latest,
+    "events_hourly": q_events_hourly,
+    "events_dedup_exact": q_events_dedup_exact,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_token_stats": q_docs_token_stats,
+    "docs_lang_breakdown": q_docs_lang_breakdown,
+}
+
+ANALYTIC_ORACLES = {
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
+    "events_lww_latest": SQL_EVENTS_LWW,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_dedup_exact": SQL_EVENTS_DEDUP,
+    "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
+    "docs_token_stats": SQL_DOCS_TOKEN_STATS,
+    "docs_lang_breakdown": SQL_DOCS_LANG_BREAKDOWN,
+}

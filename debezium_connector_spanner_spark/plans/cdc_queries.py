@@ -1,0 +1,310 @@
+"""CDC queries over the synthetic change-event fixture + their DuckDB oracles.
+
+Each entry pairs a Spark DataFrame program with an INDEPENDENT ANSI-SQL
+re-implementation that DuckDB runs on the same parquet fixture — the
+driver's correctness gate. Column names/types are aligned on both sides
+(timestamps surfaced as epoch micros BIGINT, no float aggregates).
+
+The flagship ``cdc_final_state`` replays the full engine (DAG gate,
+decode, LWW fold, MERGE, checkpoints) and the oracle re-derives the
+final table state in pure SQL: identity dedup -> per-column
+last-non-null-after-delete-barrier fold -> full outer merge with the
+base table. Agreement here certifies the whole pipeline, not one
+operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_connector_spanner_spark.fixtures.generator import (
+    EPOCH_MICROS,
+    FIXTURE_ROOT,
+    ensure_fixture,
+    fixture_config_for_sf,
+)
+from debezium_connector_spanner_spark.operators.decode import (
+    decode_mods,
+    dedup_identity,
+    explode_mods,
+)
+from debezium_connector_spanner_spark.sources.event_schema import (
+    EVENT_LOG_SCHEMA,
+    REPOS_SCHEMA_V1,
+)
+from debezium_connector_spanner_spark.streaming.engine import CdcReplayEngine
+
+RUN_FORMAT = 3  # bump to invalidate cached replay state after engine changes
+N_BATCHES = 8
+
+
+# --------------------------------------------------------------- helpers
+def _events(spark: SparkSession, fx: str) -> DataFrame:
+    return spark.read.schema(EVENT_LOG_SCHEMA).parquet(os.path.join(fx, "events"))
+
+
+def replayed_engine(
+    spark: SparkSession, sf_dir: str, schema_evolution: bool = False
+) -> CdcReplayEngine:
+    """Full engine replay for the sf-scaled fixture; cached on disk and
+    resumed/reused across calls (idempotent by checkpoint)."""
+    fx = ensure_fixture(sf_dir, schema_evolution)
+    tag = "run-evo" if schema_evolution else "run"
+    root = os.path.join(fx, f"{tag}-v{RUN_FORMAT}")
+    cfg = fixture_config_for_sf(sf_dir, schema_evolution)
+    base = spark.read.parquet(os.path.join(fx, "base_repos.parquet"))
+    eng = CdcReplayEngine(
+        spark,
+        fx,
+        os.path.join(root, "table"),
+        os.path.join(root, "ckpt"),
+        start_us=EPOCH_MICROS,
+        end_us=EPOCH_MICROS + cfg.duration_s * 1_000_000,
+        n_batches=N_BATCHES,
+        initial_schema=REPOS_SCHEMA_V1,
+        base_df=base if not os.path.exists(os.path.join(root, "table")) else None,
+        n_buckets=16,
+    )
+    eng.run()  # no-op when the checkpoint says complete
+    return eng
+
+
+def _fx_path(sf_name: str = "sf0.01", evo: bool = False) -> str:
+    return os.path.join(FIXTURE_ROOT, sf_name + ("-evo" if evo else ""))
+
+
+# --------------------------------------------------------------- queries
+def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = replayed_engine(spark, sf_dir)
+    return eng.final_state().select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
+
+
+def q_cdc_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded, identity-deduped change stream (op derived per mod)."""
+    fx = ensure_fixture(sf_dir)
+    decoded = decode_mods(_events(spark, fx), REPOS_SCHEMA_V1)
+    d = dedup_identity(decoded)
+    return d.select(
+        "repo",
+        "path",
+        "op",
+        F.unix_micros("commit_ts").alias("ts_us"),
+        "record_sequence",
+        "mod_number",
+        "partition_token",
+        "server_txn_id",
+    )
+
+
+def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = ensure_fixture(sf_dir)
+    decoded = dedup_identity(decode_mods(_events(spark, fx), REPOS_SCHEMA_V1))
+    return decoded.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("repo", "path").alias("n_keys"),
+    )
+
+
+def q_cdc_dag_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = ensure_fixture(sf_dir)
+    ev = _events(spark, fx).where(F.col("record_type") == "child_partitions")
+    return (
+        ev.select(
+            F.col("partition_token").alias("announced_by"),
+            F.explode("child_partitions").alias("cp"),
+            F.unix_micros("commit_ts").alias("start_ts_us"),
+        )
+        .select(
+            F.col("cp.token").alias("child_token"),
+            F.explode("cp.parent_partition_tokens").alias("parent_token"),
+            "start_ts_us",
+        )
+        .distinct()
+    )
+
+
+def q_cdc_heartbeat_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = ensure_fixture(sf_dir)
+    ev = _events(spark, fx).where(F.col("record_type") == "heartbeat")
+    return ev.groupBy("partition_token").agg(
+        F.count(F.lit(1)).alias("n_heartbeats"),
+        F.max(F.unix_micros("commit_ts")).alias("max_ts_us"),
+    )
+
+
+def q_cdc_watermark_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-internal: per-batch low watermark + throughput (no SQL
+    equivalent -> rows-only driver check; invariants pytest-verified)."""
+    eng = replayed_engine(spark, sf_dir)
+    rows = [
+        (
+            m["batch_id"],
+            m["batch_end_us"],
+            m["watermark_us"],
+            m["events"],
+            m["active_tokens"],
+            m["snapshot_id"],
+        )
+        for m in eng.metrics()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "batch_id int, batch_end_us long, watermark_us long, events long, "
+        "active_tokens int, snapshot_id int",
+    )
+
+
+def q_cdc_final_state_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay with online schema evolution (add stars INT64 -> widen to
+    FLOAT64). Oracle-SQL-checkable too, but kept rows-only: the pandas
+    oracle covers it in pytest (tests/test_replay.py)."""
+    eng = replayed_engine(spark, sf_dir, schema_evolution=True)
+    return eng.final_state().select(
+        "repo", "path", "commit", "lang", "stars",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
+
+
+# ---------------------------------------------------------------- oracles
+def _seq_sql(ts="ts", rs="rs", mn="mod_number") -> str:
+    # HUGEINT-packed total order == Spark's struct(ts, rs, mod) order
+    return f"CAST({ts} AS HUGEINT)*10000000000 + CAST({rs} AS HUGEINT)*100 + {mn}"
+
+
+def _exploded_sql(fx: str) -> str:
+    return f"""
+  raw AS (
+    SELECT partition_token, epoch_us(commit_ts) AS ts, record_sequence AS rs,
+           server_txn_id, mods
+    FROM read_parquet('{fx}/events/*/*.parquet', hive_partitioning=1)
+    WHERE record_type = 'data_change'
+  ),
+  exploded AS (
+    SELECT DISTINCT partition_token, ts, rs, server_txn_id,
+           mn - 1 AS mod_number,
+           mods[mn].keys AS keys, mods[mn].new_values AS new_values,
+           mods[mn].old_values AS old_values
+    FROM raw, UNNEST(generate_series(1, len(mods))) AS t(mn)
+  ),
+  keyed AS (
+    SELECT json_extract_string(keys, '$.repo') AS repo,
+           json_extract_string(keys, '$.path') AS path,
+           ts, rs, mod_number, partition_token, server_txn_id,
+           new_values, old_values,
+           {_seq_sql()} AS k
+    FROM exploded
+  )"""
+
+
+def sql_cdc_final_state(fx: str) -> str:
+    def col_fold(c: str) -> str:
+        return f"""
+      arg_max(json_extract_string(new_values, '$.{c}'),
+              CASE WHEN json_extract_string(new_values, '$.{c}') IS NOT NULL THEN k END) AS v_{c},
+      max(CASE WHEN json_extract_string(new_values, '$.{c}') IS NOT NULL THEN k END) AS k_{c}"""
+
+    def col_merge(c: str) -> str:
+        return f"""
+      CASE WHEN f.repo IS NULL THEN b."{c}"
+           WHEN f.k_{c} IS NOT NULL AND (f.del_k IS NULL OR f.k_{c} > f.del_k) THEN f.v_{c}
+           WHEN f.del_k IS NOT NULL THEN NULL
+           ELSE b."{c}" END AS "{c}" """
+
+    return f"""
+WITH {_exploded_sql(fx)},
+folded AS (
+  SELECT repo, path,
+    arg_max(new_values IS NULL, k) AS last_is_del,
+    max(CASE WHEN new_values IS NULL THEN k END) AS del_k,
+    {col_fold('commit')}, {col_fold('lang')}, {col_fold('content')}
+  FROM keyed GROUP BY repo, path
+),
+base AS (SELECT * FROM read_parquet('{fx}/base_repos.parquet')),
+merged AS (
+  SELECT coalesce(f.repo, b.repo) AS repo, coalesce(f.path, b.path) AS path,
+    {col_merge('commit')}, {col_merge('lang')}, {col_merge('content')},
+    (f.repo IS NOT NULL AND f.last_is_del) AS dropped
+  FROM folded f FULL OUTER JOIN base b ON f.repo = b.repo AND f.path = b.path
+)
+SELECT repo, path, "commit", lang, content, sha256(content) AS content_sha
+FROM merged WHERE NOT coalesce(dropped, false)
+"""
+
+
+def sql_cdc_changes_stream(fx: str) -> str:
+    return f"""
+WITH {_exploded_sql(fx)}
+SELECT repo, path,
+  CASE WHEN new_values IS NULL THEN 'd'
+       WHEN old_values IS NULL THEN 'c'
+       ELSE 'u' END AS op,
+  ts AS ts_us, rs AS record_sequence, mod_number, partition_token, server_txn_id
+FROM keyed
+"""
+
+
+def sql_cdc_op_stats(fx: str) -> str:
+    return f"""
+WITH {_exploded_sql(fx)}
+SELECT CASE WHEN new_values IS NULL THEN 'd'
+            WHEN old_values IS NULL THEN 'c'
+            ELSE 'u' END AS op,
+       count(*) AS n_records,
+       count(DISTINCT repo || chr(0) || path) AS n_keys
+FROM keyed GROUP BY 1
+"""
+
+
+def sql_cdc_dag_edges(fx: str) -> str:
+    return f"""
+SELECT DISTINCT cp.token AS child_token,
+       unnest(cp.parent_partition_tokens) AS parent_token,
+       epoch_us(commit_ts) AS start_ts_us
+FROM (
+  SELECT unnest(child_partitions) AS cp, commit_ts
+  FROM read_parquet('{fx}/events/*/*.parquet', hive_partitioning=1)
+  WHERE record_type = 'child_partitions'
+)
+"""
+
+
+def sql_cdc_heartbeat_progress(fx: str) -> str:
+    return f"""
+SELECT partition_token, count(*) AS n_heartbeats, max(epoch_us(commit_ts)) AS max_ts_us
+FROM read_parquet('{fx}/events/*/*.parquet', hive_partitioning=1)
+WHERE record_type = 'heartbeat'
+GROUP BY partition_token
+"""
+
+
+CDC_QUERIES = {
+    "cdc_final_state": q_cdc_final_state,
+    "cdc_changes_stream": q_cdc_changes_stream,
+    "cdc_op_stats": q_cdc_op_stats,
+    "cdc_dag_edges": q_cdc_dag_edges,
+    "cdc_heartbeat_progress": q_cdc_heartbeat_progress,
+    "cdc_watermark_trace": q_cdc_watermark_trace,
+    "cdc_final_state_evolved": q_cdc_final_state_evolved,
+}
+
+
+def cdc_oracles(sf_name: str = "sf0.01") -> dict[str, str]:
+    fx = _fx_path(sf_name)
+    return {
+        "cdc_final_state": sql_cdc_final_state(fx),
+        "cdc_changes_stream": sql_cdc_changes_stream(fx),
+        "cdc_op_stats": sql_cdc_op_stats(fx),
+        "cdc_dag_edges": sql_cdc_dag_edges(fx),
+        "cdc_heartbeat_progress": sql_cdc_heartbeat_progress(fx),
+        # cdc_watermark_trace / cdc_final_state_evolved: rows-only by design
+    }
