@@ -33,6 +33,10 @@ from debezium_connector_spanner_spark.plans.cdc_queries import (
     ensure_fixture,
     q_cdc_final_state,
 )
+from debezium_connector_spanner_spark.plans.pipeline_queries import (
+    PIPELINE_QUERIES,
+    pipeline_oracles,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -45,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(CDC_QUERIES)
     out.update(ANALYTIC_QUERIES)
+    out.update(PIPELINE_QUERIES)
     return out
 
 
@@ -58,4 +63,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(cdc_oracles("sf0.01"))
     out.update(ANALYTIC_ORACLES)
+    out.update(pipeline_oracles())
     return out

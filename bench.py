@@ -1,0 +1,136 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+{"metric": "...", "value": <total sec>, "unit": "sec",
+ "queries": {...per-query sec...}, "sf": ..., "extras": {...}}
+
+Headline: full CDC replay (decode -> DAG-gated scan -> LWW fold ->
+bucketed MERGE -> checkpoint) on a dedicated change-event fixture sized
+off the sf dir, reported both as seconds and events/sec. Plus a spread
+of analytics/pipeline queries at the sf dir.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_PARALLELISM (override master threads, for scaling runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from debezium_connector_spanner_spark.fixtures.generator import (
+    EPOCH_MICROS,
+    FIXTURE_ROOT,
+    GeneratorConfig,
+    write_fixture,
+)
+from debezium_connector_spanner_spark.session import get_spark
+from debezium_connector_spanner_spark.sources.event_schema import REPOS_SCHEMA_V1
+from debezium_connector_spanner_spark.streaming.engine import CdcReplayEngine
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "events_lww_latest",
+    "events_hourly",
+    "docs_exact_dedup",
+    "docs_token_stats",
+]
+
+
+def bench_fixture_config(sf: float) -> GeneratorConfig:
+    # sized for throughput measurement: ~4M change events at sf0.1 so the
+    # parallel work dominates per-batch fixed overhead (generation is
+    # multiprocess + disk-cached; first bench run pays it once)
+    scale = max(1, int(sf * 1000))  # 1 / 10 / 100
+    return GeneratorConfig(
+        n_repos=600 * scale,
+        paths_per_repo=8,
+        hot_repos=6 * scale,
+        events_per_key_mean=8,
+        duration_s=3600,
+        heartbeats_per_token=16,
+    )
+
+
+def run_cdc_replay(spark, sf_name: str, sf: float, n_batches: int = 8) -> dict:
+    cfg = bench_fixture_config(sf)
+    fx = os.path.join(FIXTURE_ROOT, f"bench-{sf_name}")
+    m = write_fixture(fx, cfg)  # cached after first generation
+    run_root = os.path.join(fx, "bench-run")
+    if os.path.exists(run_root):
+        shutil.rmtree(run_root)  # throughput runs always start cold
+    base = spark.read.parquet(os.path.join(fx, "base_repos.parquet"))
+    t0 = time.monotonic()
+    eng = CdcReplayEngine(
+        spark,
+        fx,
+        os.path.join(run_root, "table"),
+        os.path.join(run_root, "ckpt"),
+        start_us=EPOCH_MICROS,
+        end_us=EPOCH_MICROS + cfg.duration_s * 1_000_000,
+        n_batches=n_batches,
+        initial_schema=REPOS_SCHEMA_V1,
+        base_df=base,
+        n_buckets=64,
+    )
+    totals = eng.run()
+    wall = time.monotonic() - t0
+    final_rows = eng.final_state().count()
+    return {
+        "wall_s": round(wall, 3),
+        "events": totals["events"],
+        "events_per_sec": round(totals["events"] / wall, 1),
+        "final_rows": final_rows,
+        "fixture_events": m["events"],
+        "batches": totals["batches"],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.1
+    par = os.environ.get("BENCH_PARALLELISM") or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="cdc-bench", master=f"local[{par}]",
+                      shuffle_partitions=max(8, int(par)))
+
+    queries: dict[str, float] = {}
+    extras: dict = {"parallelism": int(par)}
+
+    replay = run_cdc_replay(spark, sf_name, sf)
+    queries["cdc_replay"] = replay["wall_s"]
+    extras["cdc_replay"] = replay
+
+    from debezium_connector_spanner_spark.plans.analytics_queries import ANALYTIC_QUERIES
+
+    for name in BENCH_QUERIES:
+        fn = ANALYTIC_QUERIES[name]
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()
+        queries[name] = round(time.monotonic() - t0, 3)
+        extras.setdefault("rows", {})[name] = n
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_plus_analytics_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "extras": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

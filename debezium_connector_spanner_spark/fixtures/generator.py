@@ -100,6 +100,9 @@ class GeneratorConfig:
     evolve_add_at: float = 0.40       # stars INT64 appears
     evolve_widen_at: float = 0.75     # stars -> FLOAT64
     content_len_max: int = 400
+    # small row groups keep the log splittable: scan parallelism must come
+    # from row-group splits, not partition-token count (few, coarse tokens)
+    row_group_size: int = 16384
 
     def keys(self) -> list[tuple[str, str]]:
         out = []
@@ -334,15 +337,50 @@ class FixtureBuilder:
                 column_types=schema.column_types_json(),
             )
 
-    def build(self) -> "FixtureBuilder":
-        for key_id, (repo, path) in enumerate(self.cfg.keys()):
-            self._emit_key_chain(key_id, repo, path)
+    def build(self, parallel: bool | None = None) -> "FixtureBuilder":
+        keys = self.cfg.keys()
+        if parallel is None:
+            parallel = len(keys) > 20_000
+        if parallel:
+            self._build_parallel(keys)
+        else:
+            for key_id, (repo, path) in enumerate(keys):
+                self._emit_key_chain(key_id, repo, path)
         self._emit_control()
         # stable global order: (commit_ts, token, record_sequence)
         self.rows.sort(
             key=lambda r: (r["commit_ts"], r["partition_token"], r["record_sequence"] or "")
         )
         return self
+
+    def _build_parallel(self, keys: list[tuple[str, str]]) -> None:
+        """Per-key chains are pure functions of (cfg, key) — fan out over
+        processes and merge. Output is identical to the serial path: the
+        global key_id mapping is preserved and the final global sort
+        restores a canonical order."""
+        import multiprocessing as mp
+
+        n_workers = min(16, mp.cpu_count())
+        chunks = [
+            (self.cfg, i, n_workers, keys[i::n_workers]) for i in range(n_workers)
+        ]
+        with mp.get_context("fork").Pool(n_workers) as pool:
+            for rows, base_rows, final, stats in pool.map(_chain_chunk, chunks):
+                self.rows.extend(rows)
+                self.base_rows.extend(base_rows)
+                self.final.update(final)
+                for k, v in stats.items():
+                    self.stats[k] += v
+
+
+def _chain_chunk(args):
+    """Worker: build the event chains for a strided slice of the keys."""
+    cfg, start, step, keys = args
+    b = FixtureBuilder(cfg)
+    for j, (repo, path) in enumerate(keys):
+        b._emit_key_chain(start + j * step, repo, path)
+    final = {k: v for k, v in b.final.items()}
+    return b.rows, b.base_rows, final, b.stats
 
 
 # ------------------------------------------------------------------ arrow io
@@ -411,7 +449,11 @@ def write_fixture(out_dir: str, cfg: GeneratorConfig, force: bool = False) -> di
     for token, rows in sorted(by_token.items()):
         d = os.path.join(tmp, "events", f"partition_token={token}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(_events_table(rows), os.path.join(d, "part-0.parquet"))
+        pq.write_table(
+            _events_table(rows),
+            os.path.join(d, "part-0.parquet"),
+            row_group_size=cfg.row_group_size,
+        )
 
     base_cols = ["repo", "path", "commit", "lang", "content"]
     base = pd.DataFrame(b.base_rows, columns=base_cols).sort_values(["repo", "path"])

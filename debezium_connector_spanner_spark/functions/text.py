@@ -1,0 +1,173 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are native Catalyst expressions (split/transform/filter/
+aggregate — whole-stage-codegen'd, no Python) except the MinHash
+signature, which is an Arrow-batched pandas UDF doing one numpy matrix
+op per batch. Hash functions are built from md5 so a SQL oracle (DuckDB)
+can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+MERSENNE = (1 << 61) - 1
+
+
+def words(col: Column) -> Column:
+    """Lowercased whitespace tokens; [] for blank text. Matches the
+    DuckDB oracle: regexp_split_to_array(lower(trim(text)), '\\s+')."""
+    c = F.lower(F.trim(col))
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, r"\s+")
+    )
+
+
+def word_ngrams(words_col: Column, n: int) -> Column:
+    """Word n-grams via native transform over an index sequence."""
+    idx = F.sequence(F.lit(0), F.size(words_col) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words_col, i + 1, n))
+    )
+    return F.when(F.size(words_col) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def md5_hash64(col: Column) -> Column:
+    """Deterministic 60-bit hash reproducible in ANSI SQL:
+    first 15 hex chars of md5 -> BIGINT. (DuckDB: can be computed with
+    a hex-digit fold; see functions in plans/pipeline_queries.py.)"""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingle_hashes(text_col: Column, n: int = 3) -> Column:
+    """Distinct hashed word n-gram shingles for a document."""
+    return F.array_distinct(
+        F.transform(word_ngrams(words(text_col), n), md5_hash64)
+    )
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature_udf(num_hashes: int = 128, seed: int = 7):
+    """Arrow-batched MinHash: per document, sig[j] = min_x (a_j*x+b_j mod M)
+    over the shingle hashes x — one numpy broadcast per batch.
+    Empty shingle sets get an all-MERSENNE sentinel signature."""
+    a, b = minhash_coeffs(num_hashes, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(shingles: pd.Series) -> pd.Series:
+        out = []
+        sentinel = [MERSENNE] * num_hashes
+        for arr in shingles:
+            if arr is None or len(arr) == 0:
+                out.append(sentinel)
+                continue
+            x = np.asarray(arr, dtype=np.object_)  # python ints: no overflow
+            # (a * x + b) mod M, vectorized over hashes x shingles
+            m = (x[None, :] * a[:, None] + b[:, None]) % MERSENNE
+            out.append(m.min(axis=1).tolist())
+        return pd.Series(out)
+
+    return _sig
+
+
+def lsh_bands(sig_col: Column, bands: int, rows: int) -> Column:
+    """Split a signature into band hashes -> array<struct<band,bhash>>."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda band: F.struct(
+            band.alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", F.transform(F.slice(sig_col, band * rows + 1, rows), lambda v: v.cast("string")))
+            ).alias("bhash"),
+        ),
+    )
+
+
+def simhash64_udf(seed_unused: int = 0):
+    """64-bit SimHash over hashed tokens (Arrow-batched numpy bit fold)."""
+
+    @pandas_udf(T.LongType())
+    def _simhash(token_hashes: pd.Series) -> pd.Series:
+        out = []
+        for arr in token_hashes:
+            if arr is None or len(arr) == 0:
+                out.append(0)
+                continue
+            h = np.asarray(arr, dtype=np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int64
+            )
+            v = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for i in np.nonzero(v > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(i)
+            out.append(int(sig.astype(np.int64)))  # two's complement to BIGINT
+        return pd.Series(out)
+
+    return _simhash
+
+
+# ------------------------------------------------------------- heuristics
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "del", "para"],
+}
+
+
+def stopword_ratio(words_col: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n = F.size(words_col)
+    hits = F.size(F.filter(words_col, lambda w: F.array_contains(sw, w)))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: token count, mean word length, punct and
+    digit ratios, stopword ratio — all Catalyst-native."""
+    w = words(F.col(text_col))
+    n_chars = F.length(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(w),
+            "mean_word_len": F.when(
+                F.size(w) > 0,
+                F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+                / F.size(w),
+            ).otherwise(F.lit(0.0)),
+            "punct_ratio": F.when(
+                n_chars > 0,
+                F.length(F.regexp_replace(F.col(text_col), "[^.!?,;:]", "")).cast("double")
+                / n_chars,
+            ).otherwise(F.lit(0.0)),
+            "digit_ratio": F.when(
+                n_chars > 0,
+                F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")).cast("double")
+                / n_chars,
+            ).otherwise(F.lit(0.0)),
+            "stopword_ratio_en": stopword_ratio(w, "en"),
+        }
+    )
+
+
+def rolling_fingerprint(text_col: Column, window: int = 64) -> Column:
+    """Document fingerprint: min rolling hash over character windows
+    (winnowing-lite). Native: substring windows via sequence+transform."""
+    c = F.lower(F.trim(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - window + 1, F.lit(1)))
+    hashes = F.transform(idx, lambda i: md5_hash64(c.substr(i, F.lit(window))))
+    return F.array_min(hashes)

@@ -73,12 +73,16 @@ def decode_mods(
     events: DataFrame,
     schema: TableSchema,
     use_pandas_udf: bool = False,
+    include_old: bool = False,
 ) -> DataFrame:
     """D2+D6+D7: explode mods and decode JSON images against `schema`.
 
     Output columns: key columns (flattened), ``seq`` (ordering struct),
     ``op`` ('c'/'u'/'d'), ``vals`` (new-value struct), ``olds``
     (old-value struct), plus identity columns for dedup/envelope.
+
+    ``include_old=False`` (the MERGE hot path) skips parsing old_values —
+    the fold never reads before-images; only the envelope path needs them.
     """
     key_struct = schema.spark_struct(schema.key_columns)
     val_struct = schema.spark_struct(schema.value_columns)
@@ -87,11 +91,19 @@ def decode_mods(
     if use_pandas_udf:
         keys = decode_json_pandas(key_struct)(F.col("mod.keys"))
         vals = decode_json_pandas(val_struct)(F.col("mod.new_values"))
-        olds = decode_json_pandas(val_struct)(F.col("mod.old_values"))
+        olds = (
+            decode_json_pandas(val_struct)(F.col("mod.old_values"))
+            if include_old
+            else F.lit(None).cast(val_struct)
+        )
     else:
         keys = F.from_json(F.col("mod.keys"), key_struct)
         vals = F.from_json(F.col("mod.new_values"), val_struct)
-        olds = F.from_json(F.col("mod.old_values"), val_struct)
+        olds = (
+            F.from_json(F.col("mod.old_values"), val_struct)
+            if include_old
+            else F.lit(None).cast(val_struct)
+        )
 
     # NEW_ROW capture can't distinguish c/u by null pattern; use mod_type.
     op = (
@@ -141,7 +153,7 @@ def decode_json_pandas(struct_type: T.StructType):
     fields = [(f.name, f.dataType.simpleString()) for f in struct_type.fields]
 
     @pandas_udf(struct_type)
-    def _decode(s: pd.Series) -> pd.DataFrame:
+    def _decode_inner(s: pd.Series) -> pd.DataFrame:
         parsed = s.map(lambda x: json.loads(x) if x is not None else None)
         cols = {}
         for name, typ in fields:
@@ -156,5 +168,12 @@ def decode_json_pandas(struct_type: T.StructType):
                 vals = vals.map(lambda v: v if v is None or isinstance(v, str) else json.dumps(v))
             cols[name] = vals
         return pd.DataFrame(cols)
+
+    def _decode(col: F.Column) -> F.Column:
+        # Arrow struct rows can't be null from a pandas UDF; restore
+        # from_json's null-in -> null-struct-out contract at the plan level
+        return F.when(col.isNull(), F.lit(None).cast(struct_type)).otherwise(
+            _decode_inner(col)
+        )
 
     return _decode

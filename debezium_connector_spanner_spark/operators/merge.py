@@ -45,11 +45,29 @@ from debezium_connector_spanner_spark.sources.lake import LakeTable, bucket_expr
 CDC_TS_COL = "__cdc_ts"  # last applied commit_ts (epoch micros) per row
 
 
-def fold_changes(decoded: DataFrame, key_cols: list[str], value_cols: list[str]) -> DataFrame:
+def fold_changes(
+    decoded: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    n_buckets: int | None = None,
+) -> DataFrame:
     """One row per key: post-fold values + delete flags (single agg pass).
 
     Input: decode_mods output (key cols flattened, seq struct, op, vals).
+
+    With ``n_buckets`` set, the fold shuffle doubles as the sink's bucket
+    shuffle: rows are explicitly repartitioned on the key-bucket and the
+    bucket joins the grouping keys, so the folded output comes out
+    already clustered by bucket — the downstream delta/merge write needs
+    NO second shuffle. (bucket = f(key), so grouping by (bucket, key) is
+    per-key grouping.)
     """
+    if n_buckets is not None:
+        decoded = decoded.withColumn("_b", bucket_expr(key_cols, n_buckets))
+        decoded = decoded.repartition(n_buckets, F.col("_b"))
+        group_cols = ["_b", *key_cols]
+    else:
+        group_cols = list(key_cols)
     aggs = [
         F.max(F.struct(F.col("seq"), F.col("op"))).alias("_last"),
         F.max(F.when(F.col("op") == "d", F.col("seq"))).alias("_del"),
@@ -64,9 +82,9 @@ def fold_changes(decoded: DataFrame, key_cols: list[str], value_cols: list[str])
                 )
             ).alias(f"_m_{c}")
         )
-    g = decoded.groupBy(*key_cols).agg(*aggs)
+    g = decoded.groupBy(*group_cols).agg(*aggs)
 
-    cols = [F.col(c) for c in key_cols]
+    cols = [F.col(c) for c in group_cols]
     for c in value_cols:
         survives = F.col(f"_m_{c}").isNotNull() & (
             F.col("_del").isNull() | (F.col(f"_m_{c}.s") > F.col("_del"))
@@ -86,14 +104,26 @@ def merge_into(
     folded: DataFrame,
     target_schema=None,
     summary: dict | None = None,
+    mode: str = "mor",
+    assume_all_buckets: bool = False,
 ) -> tuple[int, list[int]]:
-    """MERGE a folded batch into the table (copy-on-write per bucket).
+    """MERGE a folded batch into the table.
 
     Equivalent to:
         MERGE INTO t USING s ON <keys>
         WHEN MATCHED AND s._is_delete THEN DELETE
         WHEN MATCHED THEN UPDATE SET <fold-aware column merge>
         WHEN NOT MATCHED AND NOT s._is_delete THEN INSERT
+
+    Two physical strategies:
+    - ``mor`` (default): append the folded batch (tombstones included) as
+      delta files on the touched buckets — O(batch) bytes written, no
+      reads; the key fold happens at read/compaction time
+      (sources/lake.py fold_ranked). The scale path: per-batch IO is
+      proportional to the delta, with rewrite amplification paid only at
+      compaction cadence.
+    - ``cow``: read touched buckets, full-outer merge, rewrite — lowest
+      read cost, O(touched buckets) write per batch.
 
     ``target_schema`` (StructType) may extend/widen the table schema —
     online additive schema evolution applied with the same commit.
@@ -107,15 +137,54 @@ def merge_into(
     ]
     n = table.n_buckets()
 
-    # persist: the fold feeds both the touched-bucket probe and the merge
-    # join — without this the decode+fold shuffle would run twice
-    folded = folded.withColumn("_b", bucket_expr(key_cols, n)).persist()
-    # touched-bucket set is tiny (<= n_buckets): cheap driver collect that
-    # buys O(delta) instead of O(table) per batch
-    touched = sorted(r["_b"] for r in folded.select("_b").distinct().collect())
-    if not touched:
-        folded.unpersist()
-        return table.current_snapshot_id(), []
+    pre_bucketed = "_b" in folded.columns
+    if not pre_bucketed:
+        folded = folded.withColumn("_b", bucket_expr(key_cols, n))
+
+    persisted = False
+    if assume_all_buckets:
+        # large batch: statistically every bucket is touched — skip the
+        # probe job entirely; empty buckets just contribute no files
+        touched = list(range(n))
+    else:
+        # touched-bucket set is tiny (<= n_buckets): cheap driver collect
+        # that buys O(delta) instead of O(table) per batch. Persist so the
+        # decode+fold shuffle isn't recomputed by the write.
+        folded = folded.persist()
+        persisted = True
+        touched = sorted(r["_b"] for r in folded.select("_b").distinct().collect())
+        if not touched:
+            folded.unpersist()
+            return table.current_snapshot_id(), []
+
+    from pyspark.sql import types as T
+
+    write_schema = schema
+    if CDC_TS_COL not in schema.fieldNames():
+        write_schema = T.StructType(
+            list(schema.fields) + [T.StructField(CDC_TS_COL, T.LongType(), True)]
+        )
+
+    if mode == "mor":
+        delta = folded.select(
+            *key_cols,
+            *[F.col(c) for c in value_cols],
+            F.col("_ts").cast("long").alias(CDC_TS_COL),
+            "_is_delete",
+            "_had_delete",
+        )
+        try:
+            sid = table.commit_delta(
+                delta,
+                touched,
+                schema=write_schema,
+                summary=summary,
+                pre_bucketed=pre_bucketed,
+            )
+        finally:
+            if persisted:
+                folded.unpersist()
+        return sid, touched
 
     target_types = {f.name: f.dataType for f in schema.fields}
     existing = table.read(buckets=touched).select(
@@ -158,15 +227,9 @@ def merge_into(
     )
     merged = j.select(*out)
 
-    from pyspark.sql import types as T
-
-    write_schema = schema
-    if CDC_TS_COL not in schema.fieldNames():
-        write_schema = T.StructType(
-            list(schema.fields) + [T.StructField(CDC_TS_COL, T.LongType(), True)]
-        )
     try:
         sid = table.commit_merge(merged, touched, schema=write_schema, summary=summary)
     finally:
-        folded.unpersist()
+        if persisted:
+            folded.unpersist()
     return sid, touched

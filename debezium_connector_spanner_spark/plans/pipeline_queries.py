@@ -1,0 +1,271 @@
+"""Training-data-pipeline queries (dedup / similarity / text analysis /
+multimodal) + DuckDB oracles where SQL can express the same computation.
+
+Hash parity trick: every content hash used in a checked query is built
+from md5 (available in both engines). The 60-bit integer form
+(`md5_hash64`) is reproduced in DuckDB by folding the first 15 hex chars:
+each nibble via strpos on a hex alphabet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_connector_spanner_spark.functions.dedup import (
+    jaccard_pairs_exact,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from debezium_connector_spanner_spark.functions.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synth_media,
+)
+from debezium_connector_spanner_spark.functions.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from debezium_connector_spanner_spark.functions.text import quality_features
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ------------------------------------------------------------------ dedup
+def q_docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_pairs_exact(d, "doc_id", "text", n=3, threshold=0.8)
+
+
+# DuckDB: same inverted-index join, shingles via list comprehension
+SQL_DOCS_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN [array_to_string(w[i+1:i+3], ' ') for i in range(len(w) - 2)]
+           ELSE [] END) AS shingles
+  FROM toks
+),
+inv AS (
+  SELECT doc_id, len(shingles) AS set_size, unnest(shingles) AS sh
+  FROM sh
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.set_size AS size_a, b.set_size AS size_b,
+         count(*) AS n_common
+  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1,2,3,4
+)
+SELECT doc_a, doc_b,
+       round(n_common / (size_a + size_b - n_common), 6) AS jaccard
+FROM pairs
+WHERE n_common / (size_a + size_b - n_common) >= 0.8
+"""
+
+
+def q_docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified. Same oracle as the
+    exact jaccard query: at 128 hashes / 32 bands the false-negative
+    probability at j>=0.8 is < 1e-7, and every candidate is re-verified
+    exactly, so the result should equal the exact pair set."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=128, bands=32, threshold=0.8)
+
+
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash_fingerprints(d, "doc_id", "text")
+
+
+def q_docs_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return quality_features(d).select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("stopword_ratio_en", 6).alias("stopword_ratio_en"),
+    )
+
+
+SQL_DOCS_QUALITY = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+  FROM documents
+)
+SELECT doc_id,
+  len(w) AS n_tokens,
+  round(CASE WHEN len(w) > 0
+        THEN list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
+        ELSE 0.0 END, 6) AS mean_word_len,
+  round(CASE WHEN length(text) > 0
+        THEN length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE / length(text)
+        ELSE 0.0 END, 6) AS punct_ratio,
+  round(CASE WHEN length(text) > 0
+        THEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)
+        ELSE 0.0 END, 6) AS digit_ratio,
+  round(CASE WHEN len(w) > 0
+        THEN len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))::DOUBLE / len(w)
+        ELSE 0.0 END, 6) AS stopword_ratio_en
+FROM toks
+"""
+
+
+def q_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax stopword-hit-rate across candidate
+    languages; 'und' when nothing matches."""
+    from debezium_connector_spanner_spark.functions.text import STOPWORDS, words
+
+    d = _t(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    scores = []
+    for lang, sw in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(x) for x in sw])
+        scores.append(
+            F.struct(
+                F.size(F.filter(w, lambda t: F.array_contains(arr, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max by (hits, lang) — deterministic tie-break on lang code
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+def _sql_lang_score(lang: str, sw: list[str]) -> str:
+    # sortable "hits|lang" encoding: DuckDB greatest() lacks struct
+    # support, but zero-padded-varchar max orders identically to Spark's
+    # greatest(struct(hits, lang)) incl. the tie-break on lang code
+    arr = ", ".join(f"'{x}'" for x in sw)
+    return (
+        "printf('%06d|%s', len(list_filter(w, x -> list_contains(["
+        + arr
+        + f"], x))), '{lang}')"
+    )
+
+
+def sql_docs_langid() -> str:
+    from debezium_connector_spanner_spark.functions.text import STOPWORDS
+
+    scores = [_sql_lang_score(lang, sw) for lang, sw in sorted(STOPWORDS.items())]
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS w
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, greatest({', '.join(scores)}) AS best
+  FROM toks
+)
+SELECT doc_id, lang AS lang_label,
+       CASE WHEN CAST(split_part(best, '|', 1) AS BIGINT) > 0
+            THEN split_part(best, '|', 2) ELSE 'und' END AS lang_pred,
+       CAST(split_part(best, '|', 1) AS BIGINT) AS stopword_hits
+FROM scored
+"""
+
+
+# -------------------------------------------------------------- similarity
+def q_emb_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce(emb, queries, k=10)
+
+
+SQL_EMB_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, nbr_id,
+    round(
+      CASE WHEN sqrt(list_sum(list_transform(cv, x -> (x::DOUBLE)*(x::DOUBLE)))) > 0
+            AND sqrt(list_sum(list_transform(qv, x -> (x::DOUBLE)*(x::DOUBLE)))) > 0
+      THEN list_sum(list_transform(range(len(cv)), i -> cv[i+1]::DOUBLE * qv[i+1]::DOUBLE))
+           / (sqrt(list_sum(list_transform(cv, x -> (x::DOUBLE)*(x::DOUBLE))))
+              * sqrt(list_sum(list_transform(qv, x -> (x::DOUBLE)*(x::DOUBLE)))))
+      ELSE 0.0 END, 6) AS cosine
+  FROM c CROSS JOIN q
+  WHERE nbr_id != query_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_emb_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path (rows-only check: recall vs brute force is asserted
+    in pytest instead of exact equality)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_lsh(emb, queries, k=10)
+
+
+# -------------------------------------------------------------- multimodal
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic media table -> mapInPandas feature
+    extraction (decode kernel stubbed; schema/batching real). Rows-only."""
+    media = synth_media(spark, n=256)
+    return extract_features(media).select(
+        "media_id", "kind", "payload_sha256", "n_bytes"
+    )
+
+
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media(spark, n=256)
+    return frame_sample_plan(media, every_ms=5000)
+
+
+PIPELINE_QUERIES = {
+    "docs_jaccard_pairs": q_docs_jaccard_pairs,
+    "docs_minhash_lsh_pairs": q_docs_minhash_lsh,
+    "docs_simhash": q_docs_simhash,
+    "docs_simhash_near_pairs": q_docs_simhash_near,
+    "docs_quality": q_docs_quality,
+    "docs_langid": q_docs_langid,
+    "emb_topk_bruteforce": q_emb_topk_bruteforce,
+    "emb_topk_lsh": q_emb_topk_lsh,
+    "media_features": q_media_features,
+    "media_frame_plan": q_media_frame_plan,
+}
+
+
+def pipeline_oracles() -> dict[str, str]:
+    return {
+        "docs_jaccard_pairs": SQL_DOCS_JACCARD,
+        "docs_minhash_lsh_pairs": SQL_DOCS_JACCARD,  # LSH must reproduce exact set
+        "docs_quality": SQL_DOCS_QUALITY,
+        "docs_langid": sql_docs_langid(),
+        "emb_topk_bruteforce": SQL_EMB_TOPK,
+        # docs_simhash / simhash_near / emb_topk_lsh / media_*: rows-only
+    }

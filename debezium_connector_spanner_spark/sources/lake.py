@@ -39,6 +39,20 @@ from pyspark.sql import types as T
 
 BUCKET_COL = "__bucket"
 
+# fold flags carried by merge-on-read delta files (see commit_delta)
+DELTA_FLAG_FIELDS = [
+    T.StructField("_is_delete", T.BooleanType(), True),
+    T.StructField("_had_delete", T.BooleanType(), True),
+]
+
+
+def _entry(e) -> tuple:
+    """Manifest file entry -> (rel_path, schema_id, rank, kind); accepts
+    the legacy 2-tuple [path, schema_id] form as a rank-0 base file."""
+    if len(e) == 2:
+        return e[0], e[1], 0, "base"
+    return tuple(e)
+
 
 def bucket_expr(key_cols: list[str], n_buckets: int):
     """Stable key->bucket hash. xxhash64 is deterministic across sessions
@@ -113,7 +127,9 @@ class LakeTable:
         }
         if initial_df is not None:
             files = t._write_data_files(initial_df, schema, key_cols, n_buckets, 0)
-            snap["buckets"] = {str(b): [[p, 0] for p in ps] for b, ps in files.items()}
+            snap["buckets"] = {
+                str(b): [[p, 0, 0, "base"] for p in ps] for b, ps in files.items()
+            }
             snap["summary"]["rows_written"] = initial_df.count()
         with open(t._snap_path(0), "w") as f:
             json.dump(snap, f)
@@ -128,19 +144,28 @@ class LakeTable:
         key_cols: list[str],
         n_buckets: int,
         snapshot_id: int,
+        pre_bucketed: bool = False,
+        sort: bool = True,
     ) -> dict[int, list[str]]:
-        """Write df partitioned by key bucket; returns bucket -> rel paths."""
+        """Write df partitioned by key bucket; returns bucket -> rel paths.
+
+        ``pre_bucketed=True``: the input is already hash-partitioned on the
+        key bucket (the fold shuffle doubled as the bucket shuffle) — skip
+        the extra exchange. ``sort=False`` skips within-file key clustering
+        (delta files are short-lived; only base/compaction files benefit).
+        """
         out = os.path.join(self.root, "data", f"snap-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}")
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-        (
-            df.select(*cols, bucket_expr(key_cols, n_buckets).alias(BUCKET_COL))
+        w = df.select(*cols, bucket_expr(key_cols, n_buckets).alias(BUCKET_COL))
+        if not pre_bucketed:
             # co-locate each bucket into one task -> one file per touched
-            # bucket; at cluster scale raise n_buckets rather than files/bucket
-            .repartition(BUCKET_COL)
-            .sortWithinPartitions(*key_cols)
-            .write.partitionBy(BUCKET_COL)
-            .parquet(out)
-        )
+            # bucket; explicit numPartitions so AQE can't coalesce the
+            # write into a few serial tasks. At cluster scale raise
+            # n_buckets rather than files/bucket.
+            w = w.repartition(n_buckets, F.col(BUCKET_COL))
+        if sort:
+            w = w.sortWithinPartitions(*key_cols)
+        w.write.partitionBy(BUCKET_COL).parquet(out)
         files: dict[int, list[str]] = {}
         for d in os.listdir(out):
             if not d.startswith(f"{BUCKET_COL}="):
@@ -153,15 +178,7 @@ class LakeTable:
                     )
         return files
 
-    def commit_merge(
-        self,
-        merged_df: DataFrame,
-        touched_buckets: list[int],
-        schema: T.StructType | None = None,
-        summary: dict | None = None,
-    ) -> int:
-        """Commit a new snapshot: rewrite touched buckets from merged_df,
-        carry untouched buckets forward by reference."""
+    def _next_snapshot(self, schema: T.StructType | None):
         prev = self.snapshot()
         new_id = prev["id"] + 1
         schema = schema or self.schema()
@@ -172,14 +189,9 @@ class LakeTable:
             while str(schema_id) in schemas:
                 schema_id += 1
             schemas[str(schema_id)] = schema.json()
-        new_files = self._write_data_files(
-            merged_df, schema, prev["key_cols"], prev["n_buckets"], new_id
-        )
-        buckets = {
-            b: fs for b, fs in prev["buckets"].items() if int(b) not in set(touched_buckets)
-        }
-        for b in touched_buckets:
-            buckets[str(b)] = [[p, schema_id] for p in new_files.get(b, [])]
+        return prev, new_id, schema, schema_id, schemas
+
+    def _finish_snapshot(self, prev, new_id, schema_id, schemas, buckets, summary):
         snap = {
             "id": new_id,
             "parent": prev["id"],
@@ -195,6 +207,96 @@ class LakeTable:
         self._set_current(new_id)
         return new_id
 
+    def commit_merge(
+        self,
+        merged_df: DataFrame,
+        touched_buckets: list[int],
+        schema: T.StructType | None = None,
+        summary: dict | None = None,
+    ) -> int:
+        """Copy-on-write commit: rewrite touched buckets from merged_df,
+        carry untouched buckets forward by reference."""
+        prev, new_id, schema, schema_id, schemas = self._next_snapshot(schema)
+        new_files = self._write_data_files(
+            merged_df, schema, prev["key_cols"], prev["n_buckets"], new_id
+        )
+        buckets = {
+            b: fs for b, fs in prev["buckets"].items() if int(b) not in set(touched_buckets)
+        }
+        for b in touched_buckets:
+            buckets[str(b)] = [
+                [p, schema_id, 0, "base"] for p in new_files.get(b, [])
+            ]
+        return self._finish_snapshot(prev, new_id, schema_id, schemas, buckets, summary)
+
+    def commit_delta(
+        self,
+        delta_df: DataFrame,
+        touched_buckets: list[int],
+        schema: T.StructType | None = None,
+        summary: dict | None = None,
+        pre_bucketed: bool = False,
+    ) -> int:
+        """Merge-on-read commit: APPEND folded delta files (including
+        tombstones and fold flags) to the touched buckets — O(delta) bytes
+        written, zero existing-data reads. ``read()`` folds base + deltas
+        in rank order; ``compact()`` collapses them back to base files.
+
+        This is the write path that survives 10^10-event scale: per-batch
+        cost is proportional to the batch, and rewrite amplification is
+        paid only at compaction cadence.
+        """
+        prev, new_id, schema, schema_id, schemas = self._next_snapshot(schema)
+        delta_schema = T.StructType(
+            list(schema.fields) + [f for f in DELTA_FLAG_FIELDS if f.name not in schema.names]
+        )
+        new_files = self._write_data_files(
+            delta_df,
+            delta_schema,
+            prev["key_cols"],
+            prev["n_buckets"],
+            new_id,
+            pre_bucketed=pre_bucketed,
+            sort=False,
+        )
+        buckets = {b: list(fs) for b, fs in prev["buckets"].items()}
+        for b in touched_buckets:
+            entry = buckets.setdefault(str(b), [])
+            entry.extend([p, schema_id, new_id, "delta"] for p in new_files.get(b, []))
+        return self._finish_snapshot(prev, new_id, schema_id, schemas, buckets, summary)
+
+    def delta_depth(self) -> int:
+        """Max number of delta files stacked on any bucket."""
+        snap = self.snapshot()
+        depth = 0
+        for fs in snap["buckets"].values():
+            depth = max(depth, sum(1 for e in fs if _entry(e)[3] == "delta"))
+        return depth
+
+    def compact(self, schema: T.StructType | None = None, summary: dict | None = None) -> int:
+        """Fold base+deltas and rewrite every delta-bearing bucket as base
+        files (selective: delta-free buckets are carried by reference)."""
+        snap = self.snapshot()
+        dirty = [
+            int(b)
+            for b, fs in snap["buckets"].items()
+            if any(_entry(e)[3] == "delta" for e in fs)
+        ]
+        if not dirty:
+            return snap["id"]
+        folded = self.read(buckets=dirty)
+        prev, new_id, schema, schema_id, schemas = self._next_snapshot(schema)
+        new_files = self._write_data_files(
+            folded, schema, prev["key_cols"], prev["n_buckets"], new_id
+        )
+        buckets = {b: fs for b, fs in prev["buckets"].items() if int(b) not in set(dirty)}
+        for b in dirty:
+            buckets[str(b)] = [[p, schema_id, 0, "base"] for p in new_files.get(b, [])]
+        s = dict(summary or {})
+        s["op"] = "compact"
+        s["buckets_compacted"] = len(dirty)
+        return self._finish_snapshot(prev, new_id, schema_id, schemas, buckets, s)
+
     # -------------------------------------------------------------- read
     def schema(self, sid: int | None = None) -> T.StructType:
         snap = self.snapshot(sid)
@@ -207,30 +309,91 @@ class LakeTable:
         return self.snapshot()["n_buckets"]
 
     def read(self, sid: int | None = None, buckets: list[int] | None = None) -> DataFrame:
-        """Read current state; files grouped by schema id, cast-unioned to
-        the snapshot schema (add-column null backfill, type widening)."""
+        """Read current state: files grouped by (schema id, rank, kind),
+        cast-unioned to the snapshot schema (add-column null backfill,
+        type widening), then — if any merge-on-read deltas are present —
+        folded per key in rank order (latest-rank column wins, delete
+        barriers honored)."""
         snap = self.snapshot(sid)
         target = T.StructType.fromJson(json.loads(snap["schemas"][str(snap["schema_id"])]))
         want = None if buckets is None else {int(b) for b in buckets}
-        by_schema: dict[int, list[str]] = {}
+        groups: dict[tuple[int, int, str], list[str]] = {}
         for b, fs in snap["buckets"].items():
             if want is not None and int(b) not in want:
                 continue
-            for rel, sch_id in fs:
-                by_schema.setdefault(int(sch_id), []).append(os.path.join(self.root, rel))
+            for e in fs:
+                rel, sch_id, rank, kind = _entry(e)
+                groups.setdefault((int(sch_id), int(rank), kind), []).append(
+                    os.path.join(self.root, rel)
+                )
         parts = []
-        for sch_id, paths in sorted(by_schema.items()):
+        any_delta = False
+        for (sch_id, rank, kind), paths in sorted(groups.items()):
             file_schema = T.StructType.fromJson(json.loads(snap["schemas"][str(sch_id)]))
-            df = self.spark.read.schema(file_schema).parquet(*paths)
-            names = set(file_schema.fieldNames())
+            read_schema = file_schema
+            if kind == "delta":
+                any_delta = True
+                read_schema = T.StructType(
+                    list(file_schema.fields)
+                    + [f for f in DELTA_FLAG_FIELDS if f.name not in file_schema.names]
+                )
+            df = self.spark.read.schema(read_schema).parquet(*paths)
+            names = set(read_schema.fieldNames())
             proj = [
                 (F.col(f.name) if f.name in names else F.lit(None)).cast(f.dataType).alias(f.name)
                 for f in target.fields
             ]
+            if kind == "delta":
+                proj += [
+                    F.coalesce(F.col("_is_delete"), F.lit(False)).alias("_is_delete"),
+                    F.coalesce(F.col("_had_delete"), F.lit(False)).alias("_had_delete"),
+                ]
+            else:
+                proj += [
+                    F.lit(False).alias("_is_delete"),
+                    F.lit(False).alias("_had_delete"),
+                ]
+            proj.append(F.lit(rank).cast("long").alias("_rank"))
             parts.append(df.select(*proj))
         if not parts:
             return self.spark.createDataFrame([], target)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        if not any_delta:
+            return out.drop("_is_delete", "_had_delete", "_rank")
+        return fold_ranked(out, snap["key_cols"], target)
+
+
+def fold_ranked(df: DataFrame, key_cols: list[str], target: T.StructType) -> DataFrame:
+    """Merge-on-read fold: one hash aggregation per key over ranked rows
+    (base rank 0, deltas in commit order). Mirrors the event-level LWW
+    fold in operators/merge.py one level up: each delta row is itself a
+    folded batch, with ``_had_delete`` acting as the delete barrier and
+    ``_is_delete`` of the top rank deciding existence.
+
+    max-only aggregates -> map-side partial aggregation -> hot-key safe.
+    """
+    value_cols = [f.name for f in target.fields if f.name not in key_cols]
+    aggs = [
+        F.max(F.struct(F.col("_rank"), F.col("_is_delete"))).alias("_top"),
+        F.max(F.when(F.col("_had_delete"), F.col("_rank"))).alias("_barrier"),
+    ]
+    for c in value_cols:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(F.col("_rank").alias("r"), F.col(c).alias("v")),
+                )
+            ).alias(f"_m_{c}")
+        )
+    g = df.groupBy(*key_cols).agg(*aggs)
+    g = g.where(~F.col("_top._is_delete"))
+    cols = [F.col(c) for c in key_cols]
+    for c in value_cols:
+        alive = F.col(f"_m_{c}").isNotNull() & (
+            F.col("_barrier").isNull() | (F.col(f"_m_{c}.r") >= F.col("_barrier"))
+        )
+        cols.append(F.when(alive, F.col(f"_m_{c}.v")).alias(c))
+    return g.select(*cols)

@@ -109,11 +109,15 @@ class CdcReplayEngine:
         base_df: DataFrame | None = None,
         n_buckets: int = 16,
         use_pandas_udf_decode: bool = False,
+        sink_mode: str = "mor",
+        compact_every: int = 4,
     ):
         self.spark = spark
         self.events_path = events_path
         self.checkpoint_dir = checkpoint_dir
         self.use_pandas_udf_decode = use_pandas_udf_decode
+        self.sink_mode = sink_mode
+        self.compact_every = compact_every
         os.makedirs(checkpoint_dir, exist_ok=True)
 
         ckpt = self._load_latest_checkpoint()
@@ -254,17 +258,27 @@ class CdcReplayEngine:
             ],
             "partition_token string, _offset_us long",
         )
-        # partition pruning on token, then per-token offset window via a
-        # broadcast join (offsets table is O(active partitions), tiny)
-        ev = self._events_df().where(F.col("partition_token").isin(active))
-        ev = ev.join(F.broadcast(offsets), "partition_token")
-        return ev.where(
-            (F.unix_micros("commit_ts") > F.col("_offset_us"))
-            & (F.unix_micros("commit_ts") <= F.lit(batch_end_us))
+        # Three-layer pruning:
+        # 1. token partition-dir pruning (isin on the partition column)
+        # 2. GLOBAL commit_ts window as literal timestamp comparisons ->
+        #    pushed into parquet row-group stats (files are ts-sorted);
+        #    the lower bound is min over active offsets, exact per-token
+        #    bounds can't push down because they arrive via the join
+        # 3. exact per-token offset window via broadcast join (tiny table)
+        lo_us = min(
+            (self.tokens[t].offset_us or self.tokens[t].start_us - 1) for t in active
         )
+        ev = self._events_df().where(F.col("partition_token").isin(active))
+        ev = ev.where(
+            (F.col("commit_ts") > F.timestamp_micros(F.lit(lo_us)))
+            & (F.col("commit_ts") <= F.timestamp_micros(F.lit(batch_end_us)))
+        )
+        ev = ev.join(F.broadcast(offsets), "partition_token")
+        return ev.where(F.unix_micros("commit_ts") > F.col("_offset_us"))
 
     def _run_batch(self, batch_id: int, batch_end_us: int) -> dict:
         t0 = time.monotonic()
+        timings: dict[str, float] = {}
         active = self._gate()
         scan = self._active_scan(active, batch_end_us) if active else None
 
@@ -276,22 +290,21 @@ class CdcReplayEngine:
         snapshot_id = self.table.current_snapshot_id()
 
         if scan is not None:
-            # --- control/progress pass: ONE small aggregate job drives
-            # offsets, heartbeats, end markers, schema discovery AND child
-            # registration (children piggyback as collect_list) ---
-            prog = (
-                scan.groupBy("partition_token")
+            # deliberately NOT persisted: the control pass and the
+            # decode+merge prune different column sets; caching would
+            # materialize all columns (incl. the heavy mods JSON) while the
+            # pruned parquet re-read is row-group-pruned and cheaper
+            t_stage = time.monotonic()
+            # --- control pass: heartbeats, end markers, child partitions
+            # (control rows only -> light column set) ---
+            ctrl = (
+                scan.where(F.col("record_type") != DATA_CHANGE)
+                .groupBy("partition_token")
                 .agg(
-                    F.count(F.lit(1)).alias("n"),
+                    F.count(F.lit(1)).alias("n_ctrl"),
                     F.max(F.unix_micros("commit_ts")).alias("max_ts_us"),
-                    F.sum((F.col("record_type") == DATA_CHANGE).cast("long")).alias("n_data"),
                     F.sum((F.col("record_type") == HEARTBEAT).cast("long")).alias("n_hb"),
                     F.max((F.col("record_type") == PARTITION_END).cast("boolean")).alias("ended"),
-                    F.collect_set(
-                        F.when(
-                            F.col("record_type") == DATA_CHANGE, F.col("column_types")
-                        )
-                    ).alias("schemas"),
                     F.collect_list(
                         F.when(
                             F.col("record_type") == CHILD_PARTITIONS,
@@ -304,63 +317,126 @@ class CdcReplayEngine:
                 )
                 .collect()
             )
-            child_rows = [
-                {
-                    "token": cp["token"],
-                    "parent_partition_tokens": cp["parent_partition_tokens"],
-                    "start_us": c["start_us"],
-                }
-                for r in prog
-                for c in r["children"]
-                for cp in c["cps"]
-            ]
-
-            # schema evolution: merge every observed column_types payload
-            observed = set()
-            any_data = False
-            for r in prog:
-                events += r["n"]
-                lineage.append(
-                    {
-                        "token": r["partition_token"],
-                        "events": r["n"],
-                        "data": r["n_data"],
-                        "heartbeats": r["n_hb"],
-                        "max_ts_us": r["max_ts_us"],
-                    }
+            # --- schema probe: distinct column_types among data rows.
+            # One dictionary-encoded column; runs BEFORE decode so the
+            # batch is decoded with the merged (evolved) schema — the
+            # reference's cache-invalidate-on-mismatch collapsed into a
+            # probe (db/metadata/SchemaRegistry.java:78-86) ---
+            probe = (
+                scan.where(F.col("record_type") == DATA_CHANGE)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.collect_set("column_types").alias("schemas"),
                 )
-                if r["n_data"]:
-                    any_data = True
-                for s_json in r["schemas"]:
-                    observed.add(s_json)
-                if r["ended"]:
-                    finished.append(r["partition_token"])
+                .collect()[0]
+            )
+            any_data = probe["n"] > 0
+            observed = [s for s in probe["schemas"] if s]
+            timings["control_s"] = round(time.monotonic() - t_stage, 3)
+
             for s_json in sorted(observed):
                 incoming = TableSchema.from_column_types_json(self.schema.table, s_json)
                 self.schema = merge_schemas(self.schema, incoming)
 
-            # O3 dedup: register each child once, whichever parent
-            # announced it (O2 merge-owner rule collapses under one driver)
-            for r in child_rows:
-                tok = r["token"]
-                if tok not in self.tokens and tok not in new_children:
-                    new_children[tok] = (list(r["parent_partition_tokens"]), r["start_us"])
+            ctrl_by_token = {}
+            for r in ctrl:
+                ctrl_by_token[r["partition_token"]] = r
+                if r["ended"]:
+                    finished.append(r["partition_token"])
+                # O3 dedup: register each child once, whichever parent
+                # announced it (O2 merge-owner collapses under one driver)
+                for c in r["children"]:
+                    for cp in c["cps"]:
+                        tok = cp["token"]
+                        if tok not in self.tokens and tok not in new_children:
+                            new_children[tok] = (
+                                list(cp["parent_partition_tokens"]),
+                                c["start_us"],
+                            )
 
-            # --- data pass: decode -> fold -> MERGE ---
+            # --- data pass: decode -> fold -> MERGE, with per-token
+            # lineage riding along as an Observation (no extra job) ---
+            data_counts: dict[str, int] = {}
+            data_max_ts: dict[str, int] = {}
             if any_data:
+                t_stage = time.monotonic()
+                from pyspark.sql import Observation
+
                 decoded = decode_mods(
                     scan, self.schema, use_pandas_udf=self.use_pandas_udf_decode
                 )
+                obs = Observation(f"batch-{batch_id}")
+                is_rec = F.col("mod_number") == 0  # 1 per record, not per mod
+                obs_aggs = [
+                    F.count(F.lit(1)).alias("_n_mods_total"),
+                    F.sum(F.when(is_rec, 1).otherwise(0)).alias("_n_rec_total"),
+                ]
+                # per-token lineage rides along when the active set is
+                # small; beyond the cap only global counters are observed
+                per_token = active if len(active) <= 64 else []
+                for i, tok in enumerate(per_token):
+                    cond = F.col("partition_token") == tok
+                    obs_aggs.append(
+                        F.sum(F.when(cond & is_rec, 1).otherwise(0)).alias(f"_n_{i}")
+                    )
+                    obs_aggs.append(
+                        F.max(F.when(cond, F.col("seq.ts"))).alias(f"_ts_{i}")
+                    )
+                decoded = decoded.observe(obs, *obs_aggs)
                 folded = fold_changes(
-                    decoded, self.schema.key_columns, self.schema.value_columns
+                    decoded,
+                    self.schema.key_columns,
+                    self.schema.value_columns,
+                    n_buckets=self.table.n_buckets(),
                 )
                 snapshot_id, touched = merge_into(
                     self.table,
                     folded,
                     target_schema=self._sink_schema(),
-                    summary={"batch_id": batch_id, "events": events},
+                    summary={"batch_id": batch_id},
+                    mode=self.sink_mode,
+                    # statistically every bucket is hit by a sizable batch
+                    # — skip the probe job (empty buckets add no files)
+                    assume_all_buckets=True,
                 )
-                mods = sum(r["n_data"] for r in prog)
+                got = obs.get
+                mods = got["_n_rec_total"]
+                for i, tok in enumerate(per_token):
+                    if got[f"_n_{i}"]:
+                        data_counts[tok] = got[f"_n_{i}"]
+                        data_max_ts[tok] = got[f"_ts_{i}"]
+                timings["merge_s"] = round(time.monotonic() - t_stage, 3)
+                # MOR compaction: bound read-time delta depth; amortizes
+                # the rewrite across compact_every batches (O13-adjacent
+                # state bounding for the data files themselves)
+                if (
+                    self.sink_mode == "mor"
+                    and self.table.delta_depth() >= self.compact_every
+                ):
+                    t_stage = time.monotonic()
+                    # schema=None: compaction keeps the snapshot schema
+                    # (which already includes the __cdc_ts lineage column)
+                    snapshot_id = self.table.compact(summary={"batch_id": batch_id})
+                    timings["compact_s"] = round(time.monotonic() - t_stage, 3)
+
+            for tok in active:
+                r = ctrl_by_token.get(tok)
+                n_ctrl = r["n_ctrl"] if r else 0
+                n_d = data_counts.get(tok, 0)
+                if n_ctrl or n_d:
+                    max_ts = max(
+                        (r["max_ts_us"] if r else 0) or 0, data_max_ts.get(tok, 0) or 0
+                    )
+                    lineage.append(
+                        {
+                            "token": tok,
+                            "events": n_ctrl + n_d,
+                            "data": n_d,
+                            "heartbeats": r["n_hb"] if r else 0,
+                            "max_ts_us": max_ts,
+                        }
+                    )
+            events = sum(ln["events"] for ln in lineage)
 
         # state transitions AFTER the data commit (O6 happens-before)
         for tok, (parents, start_us) in new_children.items():
@@ -404,6 +480,7 @@ class CdcReplayEngine:
             "snapshot_id": snapshot_id,
             "wall_s": round(wall, 4),
             "events_per_sec": round(events / wall, 2) if wall > 0 else 0.0,
+            "timings": timings,
             "lineage": lineage,
         }
         with open(self.metrics_path, "a") as f:

@@ -1,0 +1,136 @@
+"""Training-data pipeline operators + decode/merge variants."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF, "documents.parquet"))
+
+
+def test_minhash_lsh_matches_exact(spark):
+    from debezium_connector_spanner_spark.functions.dedup import (
+        jaccard_pairs_exact,
+        minhash_lsh_pairs,
+    )
+
+    d = _docs(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in jaccard_pairs_exact(d, "doc_id", "text").collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(d, "doc_id", "text").collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
+def test_ann_lsh_recall(spark):
+    from debezium_connector_spanner_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    n = emb.count()
+    q = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, q, k=5).collect()
+    approx = cosine_topk_lsh(emb, q, k=5).collect()
+    e = {(r["query_id"], r["nbr_id"]) for r in exact}
+    a = {(r["query_id"], r["nbr_id"]) for r in approx}
+    recall = len(e & a) / len(e)
+    # synthetic embeddings are near-uniform random: the honest check is
+    # recall-vs-scan-fraction, not absolute recall (see similarity.py)
+    assert recall >= 0.15, f"ANN recall too low: {recall}"
+    assert len(approx) <= 5 * 5  # k per query respected
+
+
+def test_simhash_similar_docs_close(spark):
+    from debezium_connector_spanner_spark.functions.dedup import simhash_fingerprints
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 10)]
+    rows.append((2, rows[0][1] + " extra token"))
+    rows.append((3, "completely different content about spark shuffles " * 10))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["simhash64"] for r in simhash_fingerprints(df, "doc_id", "text").collect()}
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
+
+
+def test_multimodal_plumbing(spark):
+    from debezium_connector_spanner_spark.functions.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=64)
+    feats = extract_features(media).collect()
+    assert len(feats) == 64
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["features"]) == 16 for r in feats)
+    # determinism of the stubbed kernel
+    feats2 = {r["media_id"]: r["payload_sha256"] for r in extract_features(media).collect()}
+    assert feats2 == {k: v["payload_sha256"] for k, v in by_id.items()}
+
+
+def test_pandas_udf_decode_matches_native(spark, tmp_root):
+    """The Arrow pandas-UDF decode path (dynamic-schema fallback) must
+    agree with the from_json fast path."""
+    from debezium_connector_spanner_spark.fixtures.generator import (
+        GeneratorConfig,
+        write_fixture,
+    )
+    from debezium_connector_spanner_spark.operators.decode import decode_mods
+    from debezium_connector_spanner_spark.sources.event_schema import (
+        EVENT_LOG_SCHEMA,
+        REPOS_SCHEMA_V1,
+    )
+
+    fx = os.path.join(tmp_root, "fx")
+    write_fixture(fx, GeneratorConfig(n_repos=4, paths_per_repo=3))
+    ev = spark.read.schema(EVENT_LOG_SCHEMA).parquet(os.path.join(fx, "events"))
+    a = decode_mods(ev, REPOS_SCHEMA_V1, use_pandas_udf=False, include_old=True)
+    b = decode_mods(ev, REPOS_SCHEMA_V1, use_pandas_udf=True, include_old=True)
+    cols = ["repo", "path", "op", "seq", "vals", "olds"]
+    ra = sorted(map(str, a.select(cols).collect()))
+    rb = sorted(map(str, b.select(cols).collect()))
+    assert ra == rb
+
+
+def test_cow_mode_matches_mor(spark, tmp_root):
+    """Copy-on-write and merge-on-read sinks must produce identical final
+    state."""
+    from debezium_connector_spanner_spark.fixtures.generator import (
+        EPOCH_MICROS,
+        GeneratorConfig,
+        write_fixture,
+    )
+    from debezium_connector_spanner_spark.sources.event_schema import REPOS_SCHEMA_V1
+    from debezium_connector_spanner_spark.streaming.engine import CdcReplayEngine
+
+    cfg = GeneratorConfig(n_repos=6, paths_per_repo=4, events_per_key_mean=3)
+    fx = os.path.join(tmp_root, "fx")
+    write_fixture(fx, cfg)
+    end = EPOCH_MICROS + cfg.duration_s * 1_000_000
+    outs = {}
+    for mode in ("mor", "cow"):
+        eng = CdcReplayEngine(
+            spark,
+            fx,
+            os.path.join(tmp_root, f"t-{mode}"),
+            os.path.join(tmp_root, f"c-{mode}"),
+            start_us=EPOCH_MICROS,
+            end_us=end,
+            n_batches=4,
+            initial_schema=REPOS_SCHEMA_V1,
+            base_df=spark.read.parquet(os.path.join(fx, "base_repos.parquet")),
+            n_buckets=4,
+            sink_mode=mode,
+        )
+        eng.run()
+        outs[mode] = sorted(map(str, eng.final_state().collect()))
+    assert outs["mor"] == outs["cow"]
+    assert len(outs["mor"]) > 0

@@ -1,0 +1,81 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+No real cluster in the sandbox, so the same job runs at two parallelism
+levels (local[N] vs local[4N]) on the same input; we report throughput at
+both plus scaling_efficiency = tput_4N / (4 * tput_N). Each level runs in
+a fresh JVM (subprocess) so thread pools/heaps are sized per level.
+
+Usage: python tools/bench_scaling.py [N] [repeats]   (default N=8 rep=1)
+Writes results to stdout and appends a markdown row block to BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from debezium_connector_spanner_spark.session import get_spark
+from bench import run_cdc_replay
+spark = get_spark(master="local[{par}]", shuffle_partitions=max(8, {par}))
+r = run_cdc_replay(spark, "{sf_name}", {sf})
+print("RESULT " + json.dumps(r))
+"""
+
+
+def run_level(par: int, sf_name: str, sf: float) -> dict:
+    code = CHILD.format(repo=REPO, par=par, sf_name=sf_name, sf=sf)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT from local[{par}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.1
+
+    results = {n: [], 4 * n: []}
+    for _ in range(reps):
+        for par in (n, 4 * n):
+            r = run_level(par, sf_name, sf)
+            results[par].append(r)
+            print(f"local[{par}] wall={r['wall_s']}s tput={r['events_per_sec']}/s")
+
+    best = {p: max(r["events_per_sec"] for r in rs) for p, rs in results.items()}
+    eff = best[4 * n] / (4 * best[n])
+    summary = {
+        "parallelism_N": n,
+        "throughput_N": best[n],
+        "parallelism_4N": 4 * n,
+        "throughput_4N": best[4 * n],
+        "scaling_efficiency": round(eff, 3),
+        "events": results[n][0]["events"],
+        "runs": results,
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
+        f.write(
+            f"\n| local[{n}] | {best[n]:.0f} ev/s | local[{4*n}] | "
+            f"{best[4*n]:.0f} ev/s | {eff:.2f} | {results[n][0]['events']} events |"
+        )
+
+
+if __name__ == "__main__":
+    main()
