@@ -131,6 +131,42 @@ def decode_mods(
     return out.select("*", *[F.col(f"keys.{k}").alias(k) for k in schema.key_columns])
 
 
+def table_filter(
+    events: DataFrame,
+    include_regex: str | None = None,
+    exclude_regex: str | None = None,
+) -> DataFrame:
+    """D10: regex include/exclude on table name; include wins when both
+    are set (config/SpannerTableFilter.java:23-38). A plain rlike
+    predicate -> pushed down / codegen'd by Catalyst."""
+    if include_regex:
+        return events.where(F.col("table_name").rlike(include_regex))
+    if exclude_regex:
+        return events.where(~F.col("table_name").rlike(exclude_regex))
+    return events
+
+
+def apply_spanner_casts(struct_col: F.Column, schema: TableSchema) -> F.Column:
+    """D7 type fidelity (schema/mapper/JsonNodeStructValueConvertor.java:27-103):
+    BYTES columns arrive base64-encoded in the JSON row image and become
+    binary; FLOAT32 is down-cast from the JSON double; everything else
+    keeps the Connect mapping (timestamps/dates/numerics stay strings).
+    Input/output: a struct column decoded by decode_json/from_json (the
+    value-column struct by default; pass column_names for other shapes)."""
+    fields = []
+    cols = [c for c in schema.columns if not c.is_primary_key]
+    for c in cols:
+        v = struct_col.getField(c.name)
+        if c.type_code == "BYTES":
+            v = F.unbase64(v)
+        elif c.type_code == "FLOAT32":
+            v = v.cast("float")
+        elif c.type_code == "ARRAY" and c.array_element_type == "BYTES":
+            v = F.transform(v, F.unbase64)
+        fields.append(v.alias(c.name))
+    return F.struct(*fields)
+
+
 def dedup_identity(decoded: DataFrame) -> DataFrame:
     """O12: drop exact duplicate change records by identity
     (partition_token, commit_ts, server_txn_id, record_sequence,

@@ -48,6 +48,11 @@ def get_spark(
         # split scans at 32MB so modest per-batch slices still fan out
         # across all cores (event-log row groups are written small)
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # commit protocol: task-side renames (v2) + no _SUCCESS markers —
+        # the v1 job-commit does one serial driver-side rename per file,
+        # a real per-batch serial cost with bucketed writes
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -110,7 +110,7 @@ class CdcReplayEngine:
         n_buckets: int = 16,
         use_pandas_udf_decode: bool = False,
         sink_mode: str = "mor",
-        compact_every: int = 4,
+        compact_every: int = 6,
     ):
         self.spark = spark
         self.events_path = events_path
@@ -118,6 +118,12 @@ class CdcReplayEngine:
         self.use_pandas_udf_decode = use_pandas_udf_decode
         self.sink_mode = sink_mode
         self.compact_every = compact_every
+        # O7/O8 stuck-partition detection (PartitionQueryingMonitor.java:33-120,
+        # FinishPartitionWatchDog): an active partition that emits nothing
+        # (no data, no heartbeat) for this many consecutive batches is
+        # flagged in the batch metrics
+        self.max_stale_batches = 3
+        self._stale_counts: dict[str, int] = {}
         os.makedirs(checkpoint_dir, exist_ok=True)
 
         ckpt = self._load_latest_checkpoint()
@@ -295,16 +301,24 @@ class CdcReplayEngine:
             # materialize all columns (incl. the heavy mods JSON) while the
             # pruned parquet re-read is row-group-pruned and cheaper
             t_stage = time.monotonic()
-            # --- control pass: heartbeats, end markers, child partitions
-            # (control rows only -> light column set) ---
+            # --- control + schema pass: ONE small aggregate job. Control
+            # rows drive heartbeats / end markers / child registration;
+            # data rows contribute only their count and distinct
+            # column_types (dictionary-encoded -> cheap to read). Runs
+            # BEFORE decode so the batch is decoded with the merged
+            # (evolved) schema — the reference's cache-invalidate-on-
+            # mismatch collapsed into a probe
+            # (db/metadata/SchemaRegistry.java:78-86). ---
+            is_data = F.col("record_type") == DATA_CHANGE
             ctrl = (
-                scan.where(F.col("record_type") != DATA_CHANGE)
-                .groupBy("partition_token")
+                scan.groupBy("partition_token")
                 .agg(
-                    F.count(F.lit(1)).alias("n_ctrl"),
+                    F.sum((~is_data).cast("long")).alias("n_ctrl"),
+                    F.sum(is_data.cast("long")).alias("n_data"),
                     F.max(F.unix_micros("commit_ts")).alias("max_ts_us"),
                     F.sum((F.col("record_type") == HEARTBEAT).cast("long")).alias("n_hb"),
                     F.max((F.col("record_type") == PARTITION_END).cast("boolean")).alias("ended"),
+                    F.collect_set(F.when(is_data, F.col("column_types"))).alias("schemas"),
                     F.collect_list(
                         F.when(
                             F.col("record_type") == CHILD_PARTITIONS,
@@ -317,24 +331,11 @@ class CdcReplayEngine:
                 )
                 .collect()
             )
-            # --- schema probe: distinct column_types among data rows.
-            # One dictionary-encoded column; runs BEFORE decode so the
-            # batch is decoded with the merged (evolved) schema — the
-            # reference's cache-invalidate-on-mismatch collapsed into a
-            # probe (db/metadata/SchemaRegistry.java:78-86) ---
-            probe = (
-                scan.where(F.col("record_type") == DATA_CHANGE)
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.collect_set("column_types").alias("schemas"),
-                )
-                .collect()[0]
-            )
-            any_data = probe["n"] > 0
-            observed = [s for s in probe["schemas"] if s]
+            any_data = any(r["n_data"] for r in ctrl)
+            observed = sorted({s for r in ctrl for s in r["schemas"] if s})
             timings["control_s"] = round(time.monotonic() - t_stage, 3)
 
-            for s_json in sorted(observed):
+            for s_json in observed:
                 incoming = TableSchema.from_column_types_json(self.schema.table, s_json)
                 self.schema = merge_schemas(self.schema, incoming)
 
@@ -438,6 +439,18 @@ class CdcReplayEngine:
                     )
             events = sum(ln["events"] for ln in lineage)
 
+        # O7/O8 liveness: flag active partitions with no progress
+        progressed = {ln["token"] for ln in lineage}
+        stuck = []
+        for tok in active:
+            if tok in progressed or tok in finished:
+                self._stale_counts.pop(tok, None)
+            else:
+                n = self._stale_counts.get(tok, 0) + 1
+                self._stale_counts[tok] = n
+                if n >= self.max_stale_batches:
+                    stuck.append(tok)
+
         # state transitions AFTER the data commit (O6 happens-before)
         for tok, (parents, start_us) in new_children.items():
             self.tokens[tok] = TokenState(tok, parents, start_us, CREATED, None)
@@ -477,6 +490,7 @@ class CdcReplayEngine:
             "finished": finished,
             "new_tokens": sorted(new_children),
             "watermark_us": self.watermark_us,
+            "stuck_tokens": stuck,
             "snapshot_id": snapshot_id,
             "wall_s": round(wall, 4),
             "events_per_sec": round(events / wall, 2) if wall > 0 else 0.0,

@@ -1,0 +1,78 @@
+"""Structured Streaming tail over the change-event log.
+
+`spark.readStream` over the event-log directory -> foreachBatch applying
+the same decode -> LWW fold -> MERGE pipeline as the replay engine, with
+Spark's own streaming checkpoint for source offsets. This is the
+always-on deployment shape; the replay engine (engine.py) is the
+deterministic/batch-windowed shape with the partition-DAG gate.
+
+Ordering contract: within one micro-batch the fold orders by
+(commit_ts, record_sequence, mod_number), which is exact. ACROSS
+micro-batches, file-arrival order must respect per-key commit order —
+true when log files are published in commit-ts order (the normal CDC
+log layout; our generator writes ts-sorted files). For arbitrary
+arrival order, use the replay engine's time-windowed batches + DAG gate.
+
+Reference parity: this replaces the long-poll change-stream loop
+(/root/reference db/stream/SpannerChangeStream.java:125-169 +
+SpannerStreamingChangeEventSource) with Spark's streaming source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from debezium_connector_spanner_spark.operators.decode import decode_mods
+from debezium_connector_spanner_spark.operators.merge import fold_changes, merge_into
+from debezium_connector_spanner_spark.sources.event_schema import (
+    EVENT_LOG_SCHEMA,
+    TableSchema,
+)
+from debezium_connector_spanner_spark.sources.lake import LakeTable
+
+
+def stream_events_into_table(
+    spark: SparkSession,
+    events_dir: str,
+    table: LakeTable,
+    schema: TableSchema,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    sink_mode: str = "mor",
+    compact_every: int = 4,
+):
+    """Run an availableNow streaming pass applying the log to the table.
+
+    Returns the StreamingQuery (already awaited to termination)."""
+    reader = spark.readStream.schema(EVENT_LOG_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(events_dir)
+
+    def apply_batch(df, batch_id: int):
+        decoded = decode_mods(df, schema)
+        folded = fold_changes(
+            decoded,
+            schema.key_columns,
+            schema.value_columns,
+            n_buckets=table.n_buckets(),
+        )
+        merge_into(
+            table,
+            folded,
+            target_schema=schema.spark_struct(),
+            summary={"stream_batch_id": batch_id},
+            mode=sink_mode,
+            assume_all_buckets=True,
+        )
+        if sink_mode == "mor" and table.delta_depth() >= compact_every:
+            table.compact(summary={"stream_batch_id": batch_id})
+
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
