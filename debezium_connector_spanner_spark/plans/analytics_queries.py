@@ -298,3 +298,123 @@ ANALYTIC_ORACLES = {
     "docs_token_stats": SQL_DOCS_TOKEN_STATS,
     "docs_lang_breakdown": SQL_DOCS_LANG_BREAKDOWN,
 }
+
+
+# ---------------------------------------------------- extra relational ops
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue (pure filter+agg -> full predicate
+    pushdown; the .explain PushedFilters list is the point)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_e2 = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(price_c * disc_e2).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT
+  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      * CAST(round(l_discount*100) AS BIGINT)) AS revenue_e4,
+  count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-set operator coverage)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
+            "n_orders",
+            "total_cents",
+        )
+    )
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+       coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_events_user_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage: per-event-type top-5 users by activity."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("event_type", "user_id", "n", "rnk")
+    )
+
+
+SQL_EVENTS_USER_RANK = """
+WITH counts AS (
+  SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1,2
+)
+SELECT event_type, user_id, n,
+       row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rnk
+FROM counts QUALIFY rnk <= 5
+"""
+
+
+def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage: parts never ordered in bulk (qty >= 45)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.min("p_partkey").alias("min_partkey"))
+    )
+
+
+SQL_PARTS_NEVER_ORDERED = """
+SELECT p_brand, count(*) AS n_parts, min(p_partkey) AS min_partkey
+FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+GROUP BY p_brand
+"""
+
+ANALYTIC_QUERIES.update(
+    {
+        "tpch_q6": q_tpch_q6,
+        "orders_rollup": q_orders_rollup,
+        "events_user_rank": q_events_user_rank,
+        "parts_never_ordered": q_parts_never_ordered,
+    }
+)
+ANALYTIC_ORACLES.update(
+    {
+        "tpch_q6": SQL_TPCH_Q6,
+        "orders_rollup": SQL_ORDERS_ROLLUP,
+        "events_user_rank": SQL_EVENTS_USER_RANK,
+        "parts_never_ordered": SQL_PARTS_NEVER_ORDERED,
+    }
+)

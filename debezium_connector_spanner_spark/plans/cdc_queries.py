@@ -308,3 +308,52 @@ def cdc_oracles(sf_name: str = "sf0.01") -> dict[str, str]:
         "cdc_heartbeat_progress": sql_cdc_heartbeat_progress(fx),
         # cdc_watermark_trace / cdc_final_state_evolved: rows-only by design
     }
+
+
+def q_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope stream (D8/D9): flattened for oracle compare."""
+    from debezium_connector_spanner_spark.operators.envelope import to_envelope
+
+    fx = ensure_fixture(sf_dir)
+    decoded = decode_mods(_events(spark, fx), REPOS_SCHEMA_V1, include_old=True)
+    env = to_envelope(decoded, low_watermark_us=0)
+    return env.select(
+        "op",
+        F.col("key.repo").alias("repo"),
+        F.col("key.path").alias("path"),
+        "ts_us",
+        F.col("source.record_sequence").alias("record_sequence"),
+        F.col("source.mod_number").alias("mod_number"),
+        F.col("source.partition_token").alias("partition_token"),
+        F.col("before.commit").alias("before_commit"),
+        F.col("after.commit").alias("after_commit"),
+        F.col("before").isNotNull().alias("has_before"),
+        F.col("after").isNotNull().alias("has_after"),
+    )
+
+
+def sql_cdc_envelope(fx: str) -> str:
+    return f"""
+WITH {_exploded_sql(fx)}
+SELECT
+  CASE WHEN new_values IS NULL THEN 'd'
+       WHEN old_values IS NULL THEN 'c' ELSE 'u' END AS op,
+  repo, path, ts AS ts_us, rs AS record_sequence, mod_number, partition_token,
+  json_extract_string(old_values, '$.commit') AS before_commit,
+  json_extract_string(new_values, '$.commit') AS after_commit,
+  old_values IS NOT NULL AS has_before,
+  new_values IS NOT NULL AS has_after
+FROM keyed
+"""
+
+
+CDC_QUERIES["cdc_envelope"] = q_cdc_envelope
+
+
+_orig_cdc_oracles = cdc_oracles
+
+
+def cdc_oracles(sf_name: str = "sf0.01") -> dict[str, str]:  # noqa: F811
+    out = _orig_cdc_oracles(sf_name)
+    out["cdc_envelope"] = sql_cdc_envelope(_fx_path(sf_name))
+    return out
