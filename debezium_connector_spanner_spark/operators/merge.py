@@ -68,6 +68,50 @@ def fold_changes(
         group_cols = ["_b", *key_cols]
     else:
         group_cols = list(key_cols)
+    return _fold(decoded, group_cols, key_cols, value_cols)
+
+
+def fold_changes_salted(
+    decoded: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Explicit two-phase hot-key salting (north rule: "hot-key repos are
+    salted before the merge-apply shuffle").
+
+    Phase 1 groups by (key, salt) where salt = hash(record identity) % S,
+    so a mega-key's millions of events spread over S reducers; phase 2
+    combines the S partial folds per key (all aggregates are max-based,
+    hence associative). Spark's map-side partial aggregation already gives
+    fold_changes this property implicitly; the explicit variant exists for
+    the case where partials alone can't save you — e.g. one key's events
+    spanning thousands of input partitions — and as the documented skew
+    strategy. Results are identical to fold_changes (property-tested).
+    """
+    salt = F.pmod(
+        F.xxhash64(F.col("seq.ts"), F.col("seq.rs"), F.col("seq.mod")), F.lit(n_salts)
+    ).alias("_salt")
+    partial = _fold(decoded.withColumn("_salt", salt), ["_salt", *key_cols], key_cols, value_cols, project=False)
+    # combine partial folds: same max-based aggregates one level up
+    aggs = [
+        F.max("_last").alias("_last"),
+        F.max("_del").alias("_del"),
+        F.sum("_n_mods").alias("_n_mods"),
+    ]
+    for c in value_cols:
+        aggs.append(F.max(f"_m_{c}").alias(f"_m_{c}"))
+    g = partial.groupBy(*key_cols).agg(*aggs)
+    return _project_fold(g, key_cols, value_cols)
+
+
+def _fold(
+    decoded: DataFrame,
+    group_cols: list[str],
+    key_cols: list[str],
+    value_cols: list[str],
+    project: bool = True,
+) -> DataFrame:
     aggs = [
         F.max(F.struct(F.col("seq"), F.col("op"))).alias("_last"),
         F.max(F.when(F.col("op") == "d", F.col("seq"))).alias("_del"),
@@ -83,7 +127,12 @@ def fold_changes(
             ).alias(f"_m_{c}")
         )
     g = decoded.groupBy(*group_cols).agg(*aggs)
+    if not project:
+        return g
+    return _project_fold(g, group_cols, value_cols)
 
+
+def _project_fold(g: DataFrame, group_cols: list[str], value_cols: list[str]) -> DataFrame:
     cols = [F.col(c) for c in group_cols]
     for c in value_cols:
         survives = F.col(f"_m_{c}").isNotNull() & (

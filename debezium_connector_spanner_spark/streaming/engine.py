@@ -230,14 +230,39 @@ class CdcReplayEngine:
         bounds = self._boundaries()
         done = 0
         totals = {"events": 0, "mods": 0, "wall_s": 0.0}
-        while self.batch_id + 1 < self.n_batches:
-            if max_batches is not None and done >= max_batches:
-                break
-            m = self._run_batch(self.batch_id + 1, bounds[self.batch_id + 1])
+
+        def step(batch_end_us: int) -> None:
+            nonlocal done
+            m = self._run_batch(self.batch_id + 1, batch_end_us)
             totals["events"] += m["events"]
             totals["mods"] += m["mods"]
             totals["wall_s"] += m["wall_s"]
             done += 1
+
+        while self.batch_id + 1 < self.n_batches:
+            if max_batches is not None and done >= max_batches:
+                break
+            step(bounds[self.batch_id + 1])
+
+        # Drain: a child gated open by a parent finishing in the LAST
+        # scheduled batch still has to stream its window (the reference
+        # polls until every partition finishes; our windowed loop needs
+        # explicit end-of-stream drain batches). Each drain pass scans
+        # (offset, end_us] for newly-READY tokens; terminates when no
+        # READY token has unscanned range (O14 end-time detection).
+        while max_batches is None or done < max_batches:
+            if self.batch_id + 1 < self.n_batches:
+                break  # stopped early by max_batches; resume continues later
+            self._gate()
+            pending = [
+                t
+                for t, s in self.tokens.items()
+                if s.state == READY and (s.offset_us or s.start_us - 1) < self.end_us
+            ]
+            if not pending:
+                break
+            step(self.end_us)
+
         totals["batches"] = done
         totals["events_per_sec"] = (
             totals["events"] / totals["wall_s"] if totals["wall_s"] else 0.0

@@ -1,0 +1,118 @@
+"""Unit tests mirroring the reference's unit layer (SURVEY.md §5):
+SchemaMergerTest, ConflictResolver-adjacent salting, schema_log,
+randomized-batch-boundary property (replay determinism)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from debezium_connector_spanner_spark.sources.event_schema import (
+    ColumnSpec,
+    REPOS_SCHEMA_V1,
+    REPOS_SCHEMA_V2,
+    REPOS_SCHEMA_V3,
+    TableSchema,
+)
+from debezium_connector_spanner_spark.streaming.engine import merge_schemas
+
+
+def test_schema_merger_additive():
+    m = merge_schemas(REPOS_SCHEMA_V1, REPOS_SCHEMA_V2)
+    assert [c.name for c in m.columns][-1] == "stars"
+    assert m.column("stars").type_code == "INT64"
+
+
+def test_schema_merger_widening_order_insensitive():
+    a = merge_schemas(merge_schemas(REPOS_SCHEMA_V1, REPOS_SCHEMA_V2), REPOS_SCHEMA_V3)
+    b = merge_schemas(merge_schemas(REPOS_SCHEMA_V1, REPOS_SCHEMA_V3), REPOS_SCHEMA_V2)
+    assert a.column("stars").type_code == "FLOAT64"
+    assert b.column("stars").type_code == "FLOAT64"
+    assert a == b
+
+
+def test_schema_merger_never_drops_columns():
+    slim = TableSchema("repos", REPOS_SCHEMA_V1.columns[:3])
+    m = merge_schemas(REPOS_SCHEMA_V2, slim)
+    assert {c.name for c in m.columns} >= {c.name for c in REPOS_SCHEMA_V2.columns}
+
+
+def test_schema_log_as_of(spark, tmp_root):
+    from debezium_connector_spanner_spark.fixtures.generator import (
+        GeneratorConfig,
+        write_fixture,
+        EPOCH_MICROS,
+    )
+    from debezium_connector_spanner_spark.sources.schema_log import (
+        read_schema_log,
+        schema_as_of,
+    )
+
+    cfg = GeneratorConfig(n_repos=4, paths_per_repo=2, schema_evolution=True)
+    fx = os.path.join(tmp_root, "fx")
+    write_fixture(fx, cfg)
+    log = read_schema_log(spark, os.path.join(fx, "schema_log.parquet"))
+    assert len(log) == 3
+    total = cfg.duration_s * 1_000_000
+    assert schema_as_of(log, EPOCH_MICROS + 1).column_types_json() == REPOS_SCHEMA_V1.column_types_json()
+    mid = EPOCH_MICROS + int(0.5 * total)
+    assert schema_as_of(log, mid).column("stars").type_code == "INT64"
+    late = EPOCH_MICROS + int(0.9 * total)
+    assert schema_as_of(log, late).column("stars").type_code == "FLOAT64"
+
+
+def test_salted_fold_matches_plain(spark, tmp_root):
+    from debezium_connector_spanner_spark.fixtures.generator import (
+        GeneratorConfig,
+        write_fixture,
+    )
+    from debezium_connector_spanner_spark.operators.decode import decode_mods
+    from debezium_connector_spanner_spark.operators.merge import (
+        fold_changes,
+        fold_changes_salted,
+    )
+    from debezium_connector_spanner_spark.sources.event_schema import EVENT_LOG_SCHEMA
+
+    fx = os.path.join(tmp_root, "fx")
+    write_fixture(fx, GeneratorConfig(n_repos=5, paths_per_repo=3, events_per_key_mean=5))
+    ev = spark.read.schema(EVENT_LOG_SCHEMA).parquet(os.path.join(fx, "events"))
+    decoded = decode_mods(ev, REPOS_SCHEMA_V1)
+    cols = ["repo", "path", "commit", "lang", "content", "_is_delete", "_had_delete", "_ts"]
+    plain = sorted(map(str, fold_changes(decoded, ["repo", "path"], ["commit", "lang", "content"]).select(cols).collect()))
+    salted = sorted(map(str, fold_changes_salted(decoded, ["repo", "path"], ["commit", "lang", "content"]).select(cols).collect()))
+    assert plain == salted
+
+
+@pytest.mark.parametrize("n_batches", [3, 5, 11])
+def test_replay_batch_boundary_invariance(spark, tmp_root, n_batches):
+    """Property (SURVEY §7 'what's hard'): final state must not depend on
+    batch boundaries."""
+    from debezium_connector_spanner_spark.fixtures.generator import (
+        EPOCH_MICROS,
+        GeneratorConfig,
+        write_fixture,
+    )
+    from debezium_connector_spanner_spark.fixtures.oracle import fold_final_state
+    from debezium_connector_spanner_spark.streaming.engine import CdcReplayEngine
+
+    cfg = GeneratorConfig(n_repos=5, paths_per_repo=3, events_per_key_mean=4)
+    fx = os.path.join(tmp_root, "fx")
+    write_fixture(fx, cfg)
+    eng = CdcReplayEngine(
+        spark,
+        fx,
+        os.path.join(tmp_root, f"t{n_batches}"),
+        os.path.join(tmp_root, f"c{n_batches}"),
+        start_us=EPOCH_MICROS,
+        end_us=EPOCH_MICROS + cfg.duration_s * 1_000_000,
+        n_batches=n_batches,
+        initial_schema=REPOS_SCHEMA_V1,
+        base_df=spark.read.parquet(os.path.join(fx, "base_repos.parquet")),
+        n_buckets=4,
+    )
+    eng.run()
+    got = (
+        eng.final_state().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want = fold_final_state(fx).sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
