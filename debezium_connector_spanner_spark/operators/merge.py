@@ -1,12 +1,23 @@
 """Last-writer-wins fold + bucketed MERGE (SURVEY.md §2.3 O5/O12, §2.4 K1).
 
-The fold is a SINGLE hash aggregation per batch, built only from
-max/max-of-struct aggregates so Spark's partial (map-side) aggregation
-pre-reduces hot keys before the shuffle — this is the skew story for the
-north rule's "hot-key repos salted before the merge-apply shuffle": the
-map-side combine is equivalent to per-input-partition salting, with AQE
-handling any residual shuffle skew. No window functions (a window would
-shuffle the full event set un-combined).
+The fold is a SINGLE aggregation per batch built only from
+max/max-of-struct aggregates (associative + idempotent). Two physical
+shapes, chosen by workload:
+
+- **fused** (``fold_changes(n_buckets=...)``, default): the fold's
+  exchange IS the sink's bucket exchange — one shuffle per batch, output
+  pre-clustered for the write. Because the explicit bucket repartition
+  satisfies the grouping distribution, Catalyst plans the aggregate
+  entirely post-shuffle (no map-side combine) — optimal when keys repeat
+  little within a batch (high key cardinality).
+- **salted** (``fold_changes_salted``): explicit two-phase
+  (key, salt)->key combine for hot keys — the north rule's "hot-key
+  repos salted before the merge-apply shuffle". A mega-key's events
+  spread over n_salts reducers and are pre-reduced before the final
+  per-key combine. Identical results (property-tested).
+
+No window functions (a window would shuffle the full event set
+un-combined and cannot pre-reduce at all).
 
 Fold semantics per key over a batch of decoded mods, ordered by
 seq = (commit_ts, record_sequence, mod_number):

@@ -111,6 +111,7 @@ class CdcReplayEngine:
         use_pandas_udf_decode: bool = False,
         sink_mode: str = "mor",
         compact_every: int = 6,
+        skew_mode: str = "fused",  # 'fused' (1 shuffle) | 'salted' (hot keys)
     ):
         self.spark = spark
         self.events_path = events_path
@@ -118,6 +119,7 @@ class CdcReplayEngine:
         self.use_pandas_udf_decode = use_pandas_udf_decode
         self.sink_mode = sink_mode
         self.compact_every = compact_every
+        self.skew_mode = skew_mode
         # O7/O8 stuck-partition detection (PartitionQueryingMonitor.java:33-120,
         # FinishPartitionWatchDog): an active partition that emits nothing
         # (no data, no heartbeat) for this many consecutive batches is
@@ -409,12 +411,21 @@ class CdcReplayEngine:
                         F.max(F.when(cond, F.col("seq.ts"))).alias(f"_ts_{i}")
                     )
                 decoded = decoded.observe(obs, *obs_aggs)
-                folded = fold_changes(
-                    decoded,
-                    self.schema.key_columns,
-                    self.schema.value_columns,
-                    n_buckets=self.table.n_buckets(),
-                )
+                if self.skew_mode == "salted":
+                    from debezium_connector_spanner_spark.operators.merge import (
+                        fold_changes_salted,
+                    )
+
+                    folded = fold_changes_salted(
+                        decoded, self.schema.key_columns, self.schema.value_columns
+                    )
+                else:
+                    folded = fold_changes(
+                        decoded,
+                        self.schema.key_columns,
+                        self.schema.value_columns,
+                        n_buckets=self.table.n_buckets(),
+                    )
                 snapshot_id, touched = merge_into(
                     self.table,
                     folded,
