@@ -60,9 +60,22 @@ def bench_fixture_config(sf: float) -> GeneratorConfig:
 
 
 def run_cdc_replay(spark, sf_name: str, sf: float, n_batches: int = 8) -> dict:
-    cfg = bench_fixture_config(sf)
-    fx = os.path.join(FIXTURE_ROOT, f"bench-{sf_name}")
-    m = write_fixture(fx, cfg)  # cached after first generation
+    import json as _json
+
+    fx_override = os.environ.get("BENCH_FIXTURE")
+    if fx_override:
+        fx = fx_override
+        with open(os.path.join(fx, "manifest.json")) as f:
+            m = _json.load(f)
+
+        class _C:  # duration from the manifest
+            duration_s = m["duration_s"]
+
+        cfg = _C()
+    else:
+        cfg = bench_fixture_config(sf)
+        fx = os.path.join(FIXTURE_ROOT, f"bench-{sf_name}")
+        m = write_fixture(fx, cfg)  # cached after first generation
     run_root = os.path.join(fx, "bench-run")
     if os.path.exists(run_root):
         shutil.rmtree(run_root)  # throughput runs always start cold
@@ -90,6 +103,7 @@ def run_cdc_replay(spark, sf_name: str, sf: float, n_batches: int = 8) -> dict:
         "final_rows": final_rows,
         "fixture_events": m["events"],
         "batches": totals["batches"],
+        "quantiles": eng.metrics_summary(),
     }
 
 

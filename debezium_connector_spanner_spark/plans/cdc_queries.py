@@ -37,7 +37,7 @@ from debezium_connector_spanner_spark.sources.event_schema import (
 )
 from debezium_connector_spanner_spark.streaming.engine import CdcReplayEngine
 
-RUN_FORMAT = 3  # bump to invalidate cached replay state after engine changes
+RUN_FORMAT = 4  # bump to invalidate cached replay state after engine changes
 N_BATCHES = 8
 
 

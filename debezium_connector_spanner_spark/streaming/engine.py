@@ -550,3 +550,27 @@ class CdcReplayEngine:
             return []
         with open(self.metrics_path) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+    def metrics_summary(self) -> dict:
+        """M1/M2 parity (metrics/latency/QuantileMeter.java:30-60): batch
+        latency + throughput quantiles over the run."""
+        ms = self.metrics()
+        if not ms:
+            return {}
+
+        def q(vals, p):
+            vals = sorted(vals)
+            return vals[min(len(vals) - 1, int(p * len(vals)))]
+
+        walls = [m["wall_s"] for m in ms]
+        tputs = [m["events_per_sec"] for m in ms if m["events"]]
+        return {
+            "batches": len(ms),
+            "events": sum(m["events"] for m in ms),
+            "batch_wall_p50_s": q(walls, 0.50),
+            "batch_wall_p95_s": q(walls, 0.95),
+            "batch_tput_p50": q(tputs, 0.50) if tputs else 0,
+            "batch_tput_p95": q(tputs, 0.95) if tputs else 0,
+            "watermark_final_us": ms[-1]["watermark_us"],
+            "stuck_token_batches": sum(1 for m in ms if m.get("stuck_tokens")),
+        }
