@@ -301,6 +301,10 @@ class CdcReplayEngine:
         lo_us = min(
             (self.tokens[t].offset_us or self.tokens[t].start_us - 1) for t in active
         )
+        # NOTE at 10^5+ active tokens, swap the IN-list for a broadcast
+        # semi-join on the offsets table (same pruning via dynamic
+        # partition pruning); IN-list is fine for Spanner-scale token
+        # counts (hundreds)
         ev = self._events_df().where(F.col("partition_token").isin(active))
         ev = ev.where(
             (F.col("commit_ts") > F.timestamp_micros(F.lit(lo_us)))
@@ -331,13 +335,9 @@ class CdcReplayEngine:
             # --- control + schema pass: ONE small aggregate job. Control
             # rows drive heartbeats / end markers / child registration;
             # data rows contribute only their count and distinct
-            # column_types (dictionary-encoded -> cheap to read). Runs
-            # BEFORE decode so the batch is decoded with the merged
-            # (evolved) schema — the reference's cache-invalidate-on-
-            # mismatch collapsed into a probe
-            # (db/metadata/SchemaRegistry.java:78-86). ---
+            # column_types (dictionary-encoded -> cheap to read). ---
             is_data = F.col("record_type") == DATA_CHANGE
-            ctrl = (
+            ctrl_df = (
                 scan.groupBy("partition_token")
                 .agg(
                     F.sum((~is_data).cast("long")).alias("n_ctrl"),
@@ -356,15 +356,50 @@ class CdcReplayEngine:
                         )
                     ).alias("children"),
                 )
-                .collect()
             )
+            # OPTIMISTIC overlap: the control job and the decode+merge job
+            # run as concurrent Spark jobs (two driver threads; the
+            # scheduler interleaves their tasks). The merge decodes with
+            # the CURRENT schema; if the control pass then reveals new
+            # column_types, the optimistic snapshot is rolled back and the
+            # batch re-merged with the evolved schema — exactly the
+            # reference's cache-invalidate-and-retry
+            # (db/metadata/SchemaRegistry.java:78-86), paid only on the
+            # rare schema-change batch.
+            from concurrent.futures import ThreadPoolExecutor
+
+            prev_sid = snapshot_id
+            schema_used = self.schema
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                ctrl_future = ex.submit(ctrl_df.collect)
+                opt_sid, opt_obs, per_token = self._merge_attempt(
+                    scan, schema_used, batch_id, active, attempt=0
+                )
+                ctrl = ctrl_future.result()
+            timings["overlap_s"] = round(time.monotonic() - t_stage, 3)
+
             any_data = any(r["n_data"] for r in ctrl)
             observed = sorted({s for r in ctrl for s in r["schemas"] if s})
-            timings["control_s"] = round(time.monotonic() - t_stage, 3)
-
             for s_json in observed:
                 incoming = TableSchema.from_column_types_json(self.schema.table, s_json)
                 self.schema = merge_schemas(self.schema, incoming)
+
+            if not any_data:
+                # optimistic merge ran on an empty data slice: discard the
+                # empty snapshot (pointer flip; orphan files are inert)
+                if opt_sid != prev_sid:
+                    self.table.rollback(prev_sid)
+                opt_sid, opt_obs = prev_sid, None
+            elif self.schema.column_types_json() != schema_used.column_types_json():
+                # schema evolved mid-batch: invalidate and retry with the
+                # merged schema so the new columns are decoded
+                self.table.rollback(prev_sid)
+                t_retry = time.monotonic()
+                opt_sid, opt_obs, per_token = self._merge_attempt(
+                    scan, self.schema, batch_id, active, attempt=1
+                )
+                timings["schema_retry_s"] = round(time.monotonic() - t_retry, 3)
+            snapshot_id = opt_sid
 
             ctrl_by_token = {}
             for r in ctrl:
@@ -382,67 +417,17 @@ class CdcReplayEngine:
                                 c["start_us"],
                             )
 
-            # --- data pass: decode -> fold -> MERGE, with per-token
-            # lineage riding along as an Observation (no extra job) ---
+            # --- harvest the data-pass observation (per-token lineage
+            # rode along with the merge job; no extra Spark job) ---
             data_counts: dict[str, int] = {}
             data_max_ts: dict[str, int] = {}
-            if any_data:
-                t_stage = time.monotonic()
-                from pyspark.sql import Observation
-
-                decoded = decode_mods(
-                    scan, self.schema, use_pandas_udf=self.use_pandas_udf_decode
-                )
-                obs = Observation(f"batch-{batch_id}")
-                is_rec = F.col("mod_number") == 0  # 1 per record, not per mod
-                obs_aggs = [
-                    F.count(F.lit(1)).alias("_n_mods_total"),
-                    F.sum(F.when(is_rec, 1).otherwise(0)).alias("_n_rec_total"),
-                ]
-                # per-token lineage rides along when the active set is
-                # small; beyond the cap only global counters are observed
-                per_token = active if len(active) <= 64 else []
-                for i, tok in enumerate(per_token):
-                    cond = F.col("partition_token") == tok
-                    obs_aggs.append(
-                        F.sum(F.when(cond & is_rec, 1).otherwise(0)).alias(f"_n_{i}")
-                    )
-                    obs_aggs.append(
-                        F.max(F.when(cond, F.col("seq.ts"))).alias(f"_ts_{i}")
-                    )
-                decoded = decoded.observe(obs, *obs_aggs)
-                if self.skew_mode == "salted":
-                    from debezium_connector_spanner_spark.operators.merge import (
-                        fold_changes_salted,
-                    )
-
-                    folded = fold_changes_salted(
-                        decoded, self.schema.key_columns, self.schema.value_columns
-                    )
-                else:
-                    folded = fold_changes(
-                        decoded,
-                        self.schema.key_columns,
-                        self.schema.value_columns,
-                        n_buckets=self.table.n_buckets(),
-                    )
-                snapshot_id, touched = merge_into(
-                    self.table,
-                    folded,
-                    target_schema=self._sink_schema(),
-                    summary={"batch_id": batch_id},
-                    mode=self.sink_mode,
-                    # statistically every bucket is hit by a sizable batch
-                    # — skip the probe job (empty buckets add no files)
-                    assume_all_buckets=True,
-                )
-                got = obs.get
+            if any_data and opt_obs is not None:
+                got = opt_obs.get
                 mods = got["_n_rec_total"]
                 for i, tok in enumerate(per_token):
                     if got[f"_n_{i}"]:
                         data_counts[tok] = got[f"_n_{i}"]
                         data_max_ts[tok] = got[f"_ts_{i}"]
-                timings["merge_s"] = round(time.monotonic() - t_stage, 3)
                 # MOR compaction: bound read-time delta depth; amortizes
                 # the rewrite across compact_every batches (O13-adjacent
                 # state bounding for the data files themselves)
@@ -473,7 +458,9 @@ class CdcReplayEngine:
                             "max_ts_us": max_ts,
                         }
                     )
-            events = sum(ln["events"] for ln in lineage)
+            # global counters stay exact even past the per-token
+            # observation cap (lineage is then control-rows-only)
+            events = sum(r["n_ctrl"] for r in ctrl) + mods
 
         # O7/O8 liveness: flag active partitions with no progress
         progressed = {ln["token"] for ln in lineage}
@@ -536,6 +523,62 @@ class CdcReplayEngine:
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(metric) + "\n")
         return metric
+
+    def _merge_attempt(
+        self,
+        scan: DataFrame,
+        schema: TableSchema,
+        batch_id: int,
+        active: list[str],
+        attempt: int,
+    ):
+        """decode -> fold -> MERGE with per-token lineage Observation.
+
+        Returns (snapshot_id, observation, per_token_list). Commits a
+        snapshot; the caller may roll it back (schema retry / empty batch).
+        """
+        from pyspark.sql import Observation
+
+        decoded = decode_mods(scan, schema, use_pandas_udf=self.use_pandas_udf_decode)
+        obs = Observation(f"batch-{batch_id}-a{attempt}")
+        is_rec = F.col("mod_number") == 0  # 1 per record, not per mod
+        obs_aggs = [
+            F.count(F.lit(1)).alias("_n_mods_total"),
+            F.sum(F.when(is_rec, 1).otherwise(0)).alias("_n_rec_total"),
+        ]
+        # per-token lineage rides along when the active set is small;
+        # beyond the cap only global counters are observed
+        per_token = active if len(active) <= 64 else []
+        for i, tok in enumerate(per_token):
+            cond = F.col("partition_token") == tok
+            obs_aggs.append(F.sum(F.when(cond & is_rec, 1).otherwise(0)).alias(f"_n_{i}"))
+            obs_aggs.append(F.max(F.when(cond, F.col("seq.ts"))).alias(f"_ts_{i}"))
+        decoded = decoded.observe(obs, *obs_aggs)
+
+        if self.skew_mode == "salted":
+            from debezium_connector_spanner_spark.operators.merge import (
+                fold_changes_salted,
+            )
+
+            folded = fold_changes_salted(decoded, schema.key_columns, schema.value_columns)
+        else:
+            folded = fold_changes(
+                decoded,
+                schema.key_columns,
+                schema.value_columns,
+                n_buckets=self.table.n_buckets(),
+            )
+        sid, _ = merge_into(
+            self.table,
+            folded,
+            target_schema=schema.spark_struct(),
+            summary={"batch_id": batch_id, "attempt": attempt},
+            mode=self.sink_mode,
+            # statistically every bucket is hit by a sizable batch — skip
+            # the probe job (empty buckets add no files)
+            assume_all_buckets=True,
+        )
+        return sid, obs, per_token
 
     # ---------------------------------------------------------- schema
     def _sink_schema(self) -> T.StructType:
