@@ -19,11 +19,20 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
-import json, sys
+import json, os, sys
 sys.path.insert(0, {repo!r})
 from debezium_connector_spanner_spark.session import get_spark
 from bench import run_cdc_replay
-spark = get_spark(master="local[{par}]", shuffle_partitions=max(8, {par}))
+if os.environ.get("BENCH_MASTER_MODE") == "cluster":
+    # N separate executor JVMs x 4 cores each — the faithful
+    # "N executors vs 4N executors" shape from the north rule
+    spark = get_spark(
+        master="local-cluster[{par},4,4096]",
+        shuffle_partitions=max(8, 4 * {par}),
+        extra_conf={{"spark.executor.memory": "3g"}},
+    )
+else:
+    spark = get_spark(master="local[{par}]", shuffle_partitions=max(8, {par}))
 r = run_cdc_replay(spark, "{sf_name}", {sf})
 print("RESULT " + json.dumps(r))
 """
