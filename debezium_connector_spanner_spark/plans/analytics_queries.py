@@ -50,13 +50,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_price_cents,
-  sum(CAST(round(l_extendedprice*100) AS BIGINT)
-      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS sum_disc_price_e4,
-  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
       * (100 - CAST(round(l_discount*100) AS BIGINT))
-      * (100 + CAST(round(l_tax*100) AS BIGINT))) AS sum_charge_e6,
+      * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -86,8 +86,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q3 = """
 SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
-  sum(CAST(round(l_extendedprice*100) AS BIGINT)
-      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
@@ -121,8 +121,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q5 = """
 SELECT n_name,
-  sum(CAST(round(l_extendedprice*100) AS BIGINT)
-      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -192,7 +192,7 @@ SQL_EVENTS_HOURLY = """
 SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
   count(*) AS n_events,
   count(DISTINCT user_id) AS n_users,
-  sum(CAST(round(value*1000000) AS BIGINT)) AS sum_value_e6
+  CAST(sum(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
 FROM events GROUP BY 1, 2
 """
 
@@ -242,10 +242,13 @@ def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "lang",
-        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(toks).alias("n_tokens"),
-        n_chars.alias("n_chars_computed"),
-        F.length(F.regexp_replace(F.col("text"), "[^.!?,;:]", "")).alias("n_punct"),
-        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).alias("n_digits"),
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(toks)
+        .cast("long")
+        .alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_computed"),
+        F.length(F.regexp_replace(F.col("text"), "[^.!?,;:]", "")).cast("long").alias("n_punct"),
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("long").alias("n_digits"),
     )
 
 
@@ -270,7 +273,8 @@ def q_docs_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOCS_LANG_BREAKDOWN = """
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars, max(n_chars) AS max_chars
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY 1,2
 """
 
@@ -309,8 +313,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_e2 = F.round(F.col("l_discount") * 100).cast("long")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -324,11 +328,11 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q6 = """
 SELECT
-  sum(CAST(round(l_extendedprice*100) AS BIGINT)
-      * CAST(round(l_discount*100) AS BIGINT)) AS revenue_e4,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_e4,
   count(*) AS n_rows
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
 """
 
@@ -355,7 +359,7 @@ SQL_ORDERS_ROLLUP = """
 SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
        coalesce(o_orderpriority, '<all>') AS o_orderpriority,
        count(*) AS n_orders,
-       sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
@@ -370,7 +374,7 @@ def q_events_user_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 5)
-        .select("event_type", "user_id", "n", "rnk")
+        .select("event_type", "user_id", "n", F.col("rnk").cast("long").alias("rnk"))
     )
 
 

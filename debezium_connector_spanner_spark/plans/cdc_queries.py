@@ -100,7 +100,7 @@ def q_cdc_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op",
         F.unix_micros("commit_ts").alias("ts_us"),
         "record_sequence",
-        "mod_number",
+        F.col("mod_number").cast("long").alias("mod_number"),
         "partition_token",
         "server_txn_id",
     )
@@ -323,7 +323,7 @@ def q_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.path").alias("path"),
         "ts_us",
         F.col("source.record_sequence").alias("record_sequence"),
-        F.col("source.mod_number").alias("mod_number"),
+        F.col("source.mod_number").cast("long").alias("mod_number"),
         F.col("source.partition_token").alias("partition_token"),
         F.col("before.commit").alias("before_commit"),
         F.col("after.commit").alias("after_commit"),

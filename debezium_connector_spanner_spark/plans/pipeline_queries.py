@@ -98,7 +98,7 @@ def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return quality_features(d).select(
         "doc_id",
-        "n_tokens",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round("mean_word_len", 6).alias("mean_word_len"),
         F.round("punct_ratio", 6).alias("punct_ratio"),
         F.round("digit_ratio", 6).alias("digit_ratio"),
@@ -153,7 +153,7 @@ def q_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("lang_label"),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
-        best["hits"].alias("stopword_hits"),
+        best["hits"].cast("long").alias("stopword_hits"),
     )
 
 
@@ -196,7 +196,8 @@ FROM scored
 def q_emb_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return cosine_topk_bruteforce(emb, queries, k=10)
+    out = cosine_topk_bruteforce(emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 SQL_EMB_TOPK = """

@@ -44,6 +44,41 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+# Spark dtype / DuckDB type -> canonical physical type. Driver's hash is
+# dtype-aware (round-1 lesson: DuckDB sum() -> HUGEINT hashed differently
+# than int64 even when values match), so a canonical-type mismatch on any
+# column is reported as a failure here.
+_SPARK_CANON = {
+    "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+    "binary": "bytes", "date": "date",
+}
+_DUCK_CANON = {
+    "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+    "HUGEINT": "i128", "UBIGINT": "u64", "DOUBLE": "f64", "FLOAT": "f32",
+    "VARCHAR": "str", "BOOLEAN": "bool", "BLOB": "bytes", "DATE": "date",
+}
+
+
+def _canon_spark(dt: str) -> str:
+    return _SPARK_CANON.get(dt, dt)
+
+
+def _canon_duck(dt: str) -> str:
+    return _DUCK_CANON.get(dt.upper(), dt.lower())
+
+
+def dtype_mismatches(spark_dtypes, con, sql) -> list[str]:
+    """Columns whose canonical physical type differs between engines."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    duck = {r[0]: _canon_duck(r[1]) for r in desc}
+    bad = []
+    for col, dt in spark_dtypes:
+        if col in duck and _canon_spark(dt) != duck[col]:
+            bad.append(f"{col}: spark={_canon_spark(dt)} duck={duck[col]}")
+    return bad
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -76,14 +111,18 @@ def main():
         ok_cols = sorted(cols) == sorted(ocols)
         ok_rows = len(rows) == len(orows)
         ok_hash = ok_cols and value_hash(cols, rows) == value_hash(ocols, orows)
-        status = "OK " if (ok_cols and ok_rows and ok_hash) else "FAIL"
+        dt_bad = dtype_mismatches(df.dtypes, con, oracles[name])
+        status = "OK " if (ok_cols and ok_rows and ok_hash and not dt_bad) else "FAIL"
         print(
             f"{name:28s} {status} rows={len(rows):7d}/{len(orows):7d} "
             f"cols={'=' if ok_cols else 'DIFF'} hash={'=' if ok_hash else 'DIFF'} "
+            f"dtypes={'=' if not dt_bad else 'DIFF'} "
             f"spark={t_spark:6.1f}s duck={t_duck:5.1f}s"
         )
         if status == "FAIL":
             failures.append(name)
+            if dt_bad:
+                print("   dtype mismatches:", dt_bad)
             if not ok_cols:
                 print("   spark cols:", sorted(cols))
                 print("   duck  cols:", sorted(ocols))
