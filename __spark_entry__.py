@@ -58,6 +58,7 @@ def oracle_sql() -> dict[str, str]:
     # exists even if the oracle runs before the Spark side
     try:
         ensure_fixture("/root/testdata/sf0.01")
+        ensure_fixture("/root/testdata/sf0.01", schema_evolution=True)
     except Exception:
         pass
     out: dict[str, str] = {}

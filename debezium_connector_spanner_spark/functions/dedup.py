@@ -63,8 +63,16 @@ def jaccard_pairs_exact(
     s = shingled(df, id_col, text_col, n)
     inv = s.select("doc_id", "set_size", F.explode("shingles").alias("sh"))
     if max_df is not None:
-        df_counts = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        inv = inv.join(F.broadcast(df_counts.where(F.col("df") <= max_df)), "sh")
+        # broadcast the BLOCKLIST (shingles in > max_df docs) — small by
+        # construction — and anti-join it away; broadcasting the keep-list
+        # would ship nearly every distinct shingle at corpus scale
+        hot = (
+            inv.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("sh")
+        )
+        inv = inv.join(F.broadcast(hot), "sh", "left_anti")
     a = inv.select(
         F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"), "sh"
     )

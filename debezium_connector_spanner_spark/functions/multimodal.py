@@ -92,20 +92,21 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                vec = _decode_image(payload, r["meta"])  # stubbed kernel
-                feats.append(
-                    {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
-                        "payload_sha256": hashlib.sha256(payload).hexdigest(),
-                        "n_bytes": len(payload),
-                        "features": (vec[:16] / 255.0).tolist(),
-                    }
-                )
-            yield pd.DataFrame(feats)
+            # Series ops over the Arrow batch (no per-row pandas object
+            # churn); the byte hashing itself is C-speed per element.
+            payloads = pdf["payload"].map(lambda p: bytes(p) if p is not None else b"")
+            vecs = [_decode_image(p, None) for p in payloads]  # stubbed kernel
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "payload_sha256": payloads.map(
+                        lambda p: hashlib.sha256(p).hexdigest()
+                    ),
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "features": [(v[:16] / 255.0).tolist() for v in vecs],
+                }
+            )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
 

@@ -166,8 +166,8 @@ def q_cdc_watermark_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_final_state_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay with online schema evolution (add stars INT64 -> widen to
-    FLOAT64). Oracle-SQL-checkable too, but kept rows-only: the pandas
-    oracle covers it in pytest (tests/test_replay.py)."""
+    FLOAT64); checked against sql_cdc_final_state_evolved (DuckDB) plus
+    the pandas oracle in pytest (tests/test_replay.py)."""
     eng = replayed_engine(spark, sf_dir, schema_evolution=True)
     return eng.final_state().select(
         "repo", "path", "commit", "lang", "stars",
@@ -206,39 +206,78 @@ def _exploded_sql(fx: str) -> str:
   )"""
 
 
-def sql_cdc_final_state(fx: str) -> str:
-    def col_fold(c: str) -> str:
-        return f"""
-      arg_max(json_extract_string(new_values, '$.{c}'),
-              CASE WHEN json_extract_string(new_values, '$.{c}') IS NOT NULL THEN k END) AS v_{c},
-      max(CASE WHEN json_extract_string(new_values, '$.{c}') IS NOT NULL THEN k END) AS k_{c}"""
+def _col_fold_sql(c: str) -> str:
+    """Per-column LWW fold: latest written value + its order key.
 
-    def col_merge(c: str) -> str:
-        return f"""
-      CASE WHEN f.repo IS NULL THEN b."{c}"
-           WHEN f.k_{c} IS NOT NULL AND (f.del_k IS NULL OR f.k_{c} > f.del_k) THEN f.v_{c}
+    The written test is key-presence (list_contains(json_keys(...))) so an
+    explicit JSON null counts as a write of NULL — matching the engine's
+    written-flag fold (operators/merge.py) and the reference's
+    JsonNodeStructValueConvertor null handling. arg_max's value is wrapped
+    in struct_pack so NULL values aren't skipped by the aggregate."""
+    written = f"list_contains(json_keys(new_values), '{c}')"
+    return f"""
+      arg_max(struct_pack(v := json_extract_string(new_values, '$.{c}')),
+              CASE WHEN {written} THEN k END).v AS v_{c},
+      max(CASE WHEN {written} THEN k END) AS k_{c}"""
+
+
+def _col_merge_sql(c: str, in_base: bool = True, cast: str | None = None) -> str:
+    base_v = f'b."{c}"' if in_base else "NULL"
+    v = f"f.v_{c}" if cast is None else f"CAST(f.v_{c} AS {cast})"
+    return f"""
+      CASE WHEN f.repo IS NULL THEN {base_v}
+           WHEN f.k_{c} IS NOT NULL AND (f.del_k IS NULL OR f.k_{c} > f.del_k) THEN {v}
            WHEN f.del_k IS NOT NULL THEN NULL
-           ELSE b."{c}" END AS "{c}" """
+           ELSE {base_v} END AS "{c}" """
 
+
+def _sql_final_state(fx: str, fold_cols: list[str], merge_cols: list[str], select: str) -> str:
     return f"""
 WITH {_exploded_sql(fx)},
 folded AS (
   SELECT repo, path,
     arg_max(new_values IS NULL, k) AS last_is_del,
     max(CASE WHEN new_values IS NULL THEN k END) AS del_k,
-    {col_fold('commit')}, {col_fold('lang')}, {col_fold('content')}
+    {', '.join(fold_cols)}
   FROM keyed GROUP BY repo, path
 ),
 base AS (SELECT * FROM read_parquet('{fx}/base_repos.parquet')),
 merged AS (
   SELECT coalesce(f.repo, b.repo) AS repo, coalesce(f.path, b.path) AS path,
-    {col_merge('commit')}, {col_merge('lang')}, {col_merge('content')},
+    {', '.join(merge_cols)},
     (f.repo IS NOT NULL AND f.last_is_del) AS dropped
   FROM folded f FULL OUTER JOIN base b ON f.repo = b.repo AND f.path = b.path
 )
-SELECT repo, path, "commit", lang, content, sha256(content) AS content_sha
+SELECT {select}
 FROM merged WHERE NOT coalesce(dropped, false)
 """
+
+
+def sql_cdc_final_state(fx: str) -> str:
+    return _sql_final_state(
+        fx,
+        fold_cols=[_col_fold_sql(c) for c in ("commit", "lang", "content")],
+        merge_cols=[_col_merge_sql(c) for c in ("commit", "lang", "content")],
+        select='repo, path, "commit", lang, content, sha256(content) AS content_sha',
+    )
+
+
+def sql_cdc_final_state_evolved(fx: str) -> str:
+    """Oracle for the schema-evolution replay: same fold with the online
+    `stars` column (INT64 epoch then FLOAT64 widen -> DOUBLE in the sink;
+    absent from the base table so base-side value is NULL). Reference
+    semantics: db/metadata/SchemaMerger.java:24-53 (additive + widening)."""
+    return _sql_final_state(
+        fx,
+        fold_cols=[_col_fold_sql(c) for c in ("commit", "lang", "content", "stars")],
+        merge_cols=[
+            _col_merge_sql("commit"),
+            _col_merge_sql("lang"),
+            _col_merge_sql("stars", in_base=False, cast="DOUBLE"),
+            _col_merge_sql("content"),
+        ],
+        select='repo, path, "commit", lang, stars, sha256(content) AS content_sha',
+    )
 
 
 def sql_cdc_changes_stream(fx: str) -> str:
@@ -306,7 +345,8 @@ def cdc_oracles(sf_name: str = "sf0.01") -> dict[str, str]:
         "cdc_op_stats": sql_cdc_op_stats(fx),
         "cdc_dag_edges": sql_cdc_dag_edges(fx),
         "cdc_heartbeat_progress": sql_cdc_heartbeat_progress(fx),
-        # cdc_watermark_trace / cdc_final_state_evolved: rows-only by design
+        "cdc_final_state_evolved": sql_cdc_final_state_evolved(_fx_path(sf_name, evo=True)),
+        # cdc_watermark_trace: rows-only by design (engine-internal metrics)
     }
 
 

@@ -38,12 +38,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # ------------------------------------------------------------------ dedup
 def q_docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_df=100 exercises the quadratic-blowup guard (shingles in >100
+    docs are dropped before the self-join); the oracle applies the same cap."""
     d = _t(spark, sf_dir, "documents")
-    return jaccard_pairs_exact(d, "doc_id", "text", n=3, threshold=0.8)
+    return jaccard_pairs_exact(d, "doc_id", "text", n=3, threshold=0.8, max_df=100)
 
 
-# DuckDB: same inverted-index join, shingles via list comprehension
-SQL_DOCS_JACCARD = r"""
+# DuckDB: same inverted-index join, optionally with the same max_df cap
+def sql_docs_jaccard(max_df: int | None = None) -> str:
+    cap = (
+        f"WHERE sh NOT IN (SELECT sh FROM inv0 GROUP BY sh HAVING count(*) > {max_df})"
+        if max_df is not None
+        else ""
+    )
+    return rf"""
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN []
@@ -57,10 +65,11 @@ sh AS (
            ELSE [] END) AS shingles
   FROM toks
 ),
-inv AS (
+inv0 AS (
   SELECT doc_id, len(shingles) AS set_size, unnest(shingles) AS sh
   FROM sh
 ),
+inv AS (SELECT * FROM inv0 {cap}),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.set_size AS size_a, b.set_size AS size_b,
@@ -89,9 +98,52 @@ def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(d, "doc_id", "text")
 
 
+# DuckDB reproduces md5_hash64 (conv(substring(md5(t),1,15),16,10)) with a
+# hex-nibble shift-fold, then the SimHash bit vote: bit b set iff strictly
+# more token hashes have bit b set than clear. Hashes are 60-bit so bits
+# 60-63 never set and the BIGINT never goes negative.
+_SQL_TOKEN_HASH = (
+    "CAST(list_sum(list_transform(range(15), i -> "
+    "CAST(strpos('0123456789abcdef', md5(t)[CAST(i + 1 AS INTEGER)]) - 1 AS BIGINT) "
+    "<< CAST(4 * (14 - i) AS BIGINT))) AS BIGINT)"
+)
+
+SQL_DOCS_SIMHASH_FP = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, list_transform(w, t -> {_SQL_TOKEN_HASH}) AS hs
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN len(hs) = 0 THEN 0 ELSE
+    CAST(coalesce(list_sum(list_transform(range(60), b ->
+      CASE WHEN 2 * len(list_filter(hs, h -> ((h >> CAST(b AS BIGINT)) & 1) = 1)) > len(hs)
+           THEN CAST(1 AS BIGINT) << CAST(b AS BIGINT) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)
+  END AS simhash64
+FROM hashed
+"""
+
+SQL_DOCS_SIMHASH_NEAR = (
+    "WITH fp AS (" + SQL_DOCS_SIMHASH_FP + ")\n"
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+    "       CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming\n"
+    "FROM fp a JOIN fp b ON a.doc_id < b.doc_id\n"
+    "WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3\n"
+)
+
+
 def q_docs_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-LSH near pairs; equals the brute-force hamming<=3 pair set
+    (pigeonhole: <=3 differing bits over 4 blocks => >=1 identical block),
+    which is what the DuckDB oracle computes."""
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+    out = simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,10 +315,13 @@ PIPELINE_QUERIES = {
 
 def pipeline_oracles() -> dict[str, str]:
     return {
-        "docs_jaccard_pairs": SQL_DOCS_JACCARD,
-        "docs_minhash_lsh_pairs": SQL_DOCS_JACCARD,  # LSH must reproduce exact set
+        "docs_jaccard_pairs": sql_docs_jaccard(max_df=100),
+        "docs_minhash_lsh_pairs": sql_docs_jaccard(),  # LSH must reproduce exact set
+        "docs_simhash": SQL_DOCS_SIMHASH_FP,
+        "docs_simhash_near_pairs": SQL_DOCS_SIMHASH_NEAR,
         "docs_quality": SQL_DOCS_QUALITY,
         "docs_langid": sql_docs_langid(),
         "emb_topk_bruteforce": SQL_EMB_TOPK,
-        # docs_simhash / simhash_near / emb_topk_lsh / media_*: rows-only
+        # emb_topk_lsh: rows-only (ANN; recall gate in pytest instead)
+        # media_*: rows-only (decode kernel stubbed in this container)
     }
