@@ -96,6 +96,13 @@ class GeneratorConfig:
     multi_mod_frac: float = 0.06      # two mods in one record
     delete_frac: float = 0.15
     value_capture_type: str = "OLD_AND_NEW_VALUES"  # or NEW_ROW
+    # slice of records emitted with NEW_VALUES capture (old_values always
+    # null; op must come from mod_type — ValueCaptureType.java:12-18)
+    new_values_frac: float = 0.12
+    # UPDATEs that set a column to an explicit JSON null (the engine must
+    # apply the null, not keep the stale value)
+    null_update_frac: float = 0.10
+    fixture_version: int = 2          # bump to invalidate cached fixtures
     schema_evolution: bool = False
     evolve_add_at: float = 0.40       # stars INT64 appears
     evolve_widen_at: float = 0.75     # stars -> FLOAT64
@@ -204,6 +211,9 @@ class FixtureBuilder:
             schema = _schema_at(cfg, tf)
             vcols = schema.value_columns
             token = owner_token(key_frac, tf)
+            vct = cfg.value_capture_type
+            if vct == "OLD_AND_NEW_VALUES" and rnd.random() < cfg.new_values_frac:
+                vct = "NEW_VALUES"  # per-record capture slice
             n_mods = 2 if rnd.random() < cfg.multi_mod_frac and state is not None else 1
             mods = []
             mod_types = []
@@ -216,7 +226,7 @@ class FixtureBuilder:
                     op = "UPDATE" if state is not None else "INSERT"
                 new_row = None
                 if op == "DELETE":
-                    old = dict(state)
+                    old = None if vct == "NEW_VALUES" else dict(state)
                     state = None
                     mods.append(self._mod(repo, path, None, old))
                 elif op == "INSERT":
@@ -228,9 +238,13 @@ class FixtureBuilder:
                     fresh = self._fresh_row(repo, path, j * 2 + mn, tf, rnd)
                     old = {c: state.get(c) for c in changed}
                     new = {c: fresh[c] for c in changed}
+                    if "lang" in new and rnd.random() < cfg.null_update_frac:
+                        new["lang"] = None  # explicit-null column write
                     state = {**{c: state.get(c) for c in vcols}, **new}
-                    if cfg.value_capture_type == "NEW_ROW":
+                    if vct == "NEW_ROW":
                         mods.append(self._mod(repo, path, dict(state), None))
+                    elif vct == "NEW_VALUES":
+                        mods.append(self._mod(repo, path, new, None))
                     else:
                         mods.append(self._mod(repo, path, new, old))
                 mod_types.append(op)
@@ -240,14 +254,16 @@ class FixtureBuilder:
                 record_type=DATA_CHANGE,
                 partition_token=token,
                 commit_ts=us,
-                record_sequence=f"{_h64('rs', cfg.seed, repo, path, j) % 10**8:08d}",
+                # arbitrary-length numeric string (not zero-padded), as real
+                # Spanner emits: '10' must order after '9' numerically
+                record_sequence=str(_h64("rs", cfg.seed, repo, path, j) % 10**8),
                 server_txn_id=f"txn-{key_id:08d}-{j:04d}",
                 is_last_in_txn_in_partition=True,
                 table_name="repos",
                 column_types=schema.column_types_json(),
                 mods=mods,
                 mod_type=mod_types[-1],
-                value_capture_type=cfg.value_capture_type,
+                value_capture_type=vct,
                 number_of_records_in_transaction=1,
                 number_of_partitions_in_transaction=1,
                 transaction_tag="",

@@ -62,7 +62,9 @@ def fold_final_state(fixture_dir: str) -> pd.DataFrame:
                     m["old_values"],
                 )
             )
-    flat.sort(key=lambda t: (t[0], t[1], t[2]))
+    # record_sequence is a numeric string of arbitrary length: order
+    # numerically ('10' after '9'), matching the engine's seq normalization
+    flat.sort(key=lambda t: (t[0], int(t[1]), t[2]))
     seen = set()
     all_cols: set[str] = set()
     for commit_ts, rs, mod_number, token, txn, keys, new, old in flat:

@@ -34,7 +34,7 @@ from debezium_connector_spanner_spark.sources.event_schema import (
 SEQ_TYPE = T.StructType(
     [
         T.StructField("ts", T.LongType()),      # commit_ts in epoch micros
-        T.StructField("rs", T.StringType()),    # record_sequence (zero-padded)
+        T.StructField("rs", T.LongType()),      # record_sequence (numeric)
         T.StructField("mod", T.IntegerType()),  # mod_number (position in mods)
     ]
 )
@@ -46,10 +46,14 @@ def seq_col() -> F.Column:
     This is the reference's record identity order
     (context/offset/SpannerOffsetContextFactory.java:24-33) minus the
     token/txn disambiguators, which never differ for one key's events.
+
+    record_sequence is a Spanner-assigned numeric string of arbitrary
+    length; it is normalized to a BIGINT here so '10' orders after '9'
+    (lexicographic string order would mis-sort same-commit-ts records).
     """
     return F.struct(
         F.unix_micros(F.col("commit_ts")).alias("ts"),
-        F.col("record_sequence").alias("rs"),
+        F.col("record_sequence").cast("long").alias("rs"),
         F.col("mod_number").alias("mod"),
     )
 
@@ -105,15 +109,33 @@ def decode_mods(
             else F.lit(None).cast(val_struct)
         )
 
-    # NEW_ROW capture can't distinguish c/u by null pattern; use mod_type.
+    # NEW_ROW / NEW_VALUES capture can't distinguish c/u by null pattern
+    # (old_values is always null); fall back to the record-level ModType
+    # mapping, as the reference always does
+    # (processor/SpannerChangeRecordEmitter.java:42-52,
+    # db/model/ValueCaptureType.java:12-18).
+    mod_op = (
+        F.when(F.col("mod_type") == "INSERT", F.lit("c"))
+        .when(F.col("mod_type") == "DELETE", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
     op = (
         F.when(F.col("mod.new_values").isNull(), F.lit("d"))
-        .when(
-            F.col("value_capture_type") == "NEW_ROW",
-            F.when(F.col("mod_type") == "INSERT", F.lit("c")).otherwise(F.lit("u")),
-        )
+        .when(F.col("value_capture_type").isin("NEW_ROW", "NEW_VALUES"), mod_op)
         .when(F.col("mod.old_values").isNull(), F.lit("c"))
         .otherwise(F.lit("u"))
+    )
+
+    # Per-column written flags: key PRESENCE in the new-values JSON, so an
+    # UPDATE that sets a column to an explicit null is distinguished from
+    # one that doesn't touch the column (the reference emits the null —
+    # schema/mapper/JsonNodeStructValueConvertor.java:27-103 — and the LWW
+    # fold must apply it). One extra JSON tokenize per mod, JVM-side.
+    wrt = F.struct(
+        *[
+            F.array_contains(F.json_object_keys(F.col("mod.new_values")), c).alias(c)
+            for c in schema.value_columns
+        ]
     )
 
     out = m.select(
@@ -127,6 +149,7 @@ def decode_mods(
         keys.alias("keys"),
         vals.alias("vals"),
         olds.alias("olds"),
+        wrt.alias("wrt"),
     )
     return out.select("*", *[F.col(f"keys.{k}").alias(k) for k in schema.key_columns])
 

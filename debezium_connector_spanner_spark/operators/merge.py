@@ -123,6 +123,15 @@ def _fold(
     value_cols: list[str],
     project: bool = True,
 ) -> DataFrame:
+    # written = key present in the new-values JSON (wrt flags from
+    # decode_mods) so an explicit-null write participates in the fold;
+    # frames without wrt (hand-built test inputs) fall back to value
+    # non-null, which conflates explicit null with 'not written'.
+    has_wrt = "wrt" in decoded.columns
+
+    def written(c: str) -> F.Column:
+        return F.col(f"wrt.{c}") if has_wrt else F.col(f"vals.{c}").isNotNull()
+
     aggs = [
         F.max(F.struct(F.col("seq"), F.col("op"))).alias("_last"),
         F.max(F.when(F.col("op") == "d", F.col("seq"))).alias("_del"),
@@ -132,7 +141,7 @@ def _fold(
         aggs.append(
             F.max(
                 F.when(
-                    F.col(f"vals.{c}").isNotNull(),
+                    written(c),
                     F.struct(F.col("seq").alias("s"), F.col(f"vals.{c}").alias("v")),
                 )
             ).alias(f"_m_{c}")
@@ -144,12 +153,19 @@ def _fold(
 
 
 def _project_fold(g: DataFrame, group_cols: list[str], value_cols: list[str]) -> DataFrame:
+    """Project the fold aggregates to output columns.
+
+    Per column: ``c`` = the surviving value (may be an explicit NULL) and
+    ``_w_c`` = whether the batch wrote the column at all post-barrier —
+    the MERGE needs the flag to distinguish 'set to NULL' (apply) from
+    'not written' (keep target value)."""
     cols = [F.col(c) for c in group_cols]
     for c in value_cols:
         survives = F.col(f"_m_{c}").isNotNull() & (
             F.col("_del").isNull() | (F.col(f"_m_{c}.s") > F.col("_del"))
         )
         cols.append(F.when(survives, F.col(f"_m_{c}.v")).alias(c))
+        cols.append(survives.alias(f"_w_{c}"))
     cols += [
         (F.col("_last.op") == "d").alias("_is_delete"),
         F.col("_del").isNotNull().alias("_had_delete"),
@@ -225,6 +241,17 @@ def merge_into(
             list(schema.fields) + [T.StructField(CDC_TS_COL, T.LongType(), True)]
         )
 
+    has_flags = any(c.startswith("_w_") for c in folded.columns)
+
+    def wflag(c: str) -> F.Column:
+        # written-flag per column; legacy folds without flags fall back to
+        # value-non-null (explicit nulls then read as 'not written')
+        return (
+            F.coalesce(F.col(f"_w_{c}"), F.lit(False))
+            if has_flags and f"_w_{c}" in folded.columns
+            else F.col(c).isNotNull()
+        )
+
     if mode == "mor":
         delta = folded.select(
             *key_cols,
@@ -232,6 +259,7 @@ def merge_into(
             F.col("_ts").cast("long").alias(CDC_TS_COL),
             "_is_delete",
             "_had_delete",
+            *[wflag(c).alias(f"__set_{c}") for c in value_cols],
         )
         try:
             sid = table.commit_delta(
@@ -262,6 +290,7 @@ def merge_into(
     src = folded.select(
         *key_cols,
         *[F.col(c).alias(f"__s_{c}") for c in value_cols],
+        *[wflag(c).alias(f"__w_{c}") for c in value_cols],
         "_is_delete",
         "_had_delete",
         "_ts",
@@ -273,10 +302,13 @@ def merge_into(
 
     out = [F.col(c) for c in key_cols]
     for c in value_cols:
+        # written post-barrier -> apply the batch value (even explicit
+        # NULL); delete with no re-write -> wiped (batch value is NULL);
+        # otherwise the target value survives
         out.append(
             F.when(F.col("_s_present").isNull(), F.col(f"__t_{c}"))
-            .when(F.col("_had_delete"), F.col(f"__s_{c}"))
-            .otherwise(F.coalesce(F.col(f"__s_{c}"), F.col(f"__t_{c}")))
+            .when(F.col(f"__w_{c}") | F.col("_had_delete"), F.col(f"__s_{c}"))
+            .otherwise(F.col(f"__t_{c}"))
             .alias(c)
         )
     out.append(

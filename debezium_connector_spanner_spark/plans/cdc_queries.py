@@ -37,7 +37,7 @@ from debezium_connector_spanner_spark.sources.event_schema import (
 )
 from debezium_connector_spanner_spark.streaming.engine import CdcReplayEngine
 
-RUN_FORMAT = 4  # bump to invalidate cached replay state after engine changes
+RUN_FORMAT = 5  # bump to invalidate cached replay state after engine changes
 N_BATCHES = 8
 
 
@@ -177,7 +177,10 @@ def q_cdc_final_state_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- oracles
 def _seq_sql(ts="ts", rs="rs", mn="mod_number") -> str:
-    # HUGEINT-packed total order == Spark's struct(ts, rs, mod) order
+    # HUGEINT-packed total order == Spark's struct(ts, rs_numeric, mod)
+    # order; rs is CAST numerically (matching seq_col's cast-to-long
+    # normalization of the arbitrary-length numeric record_sequence).
+    # Packing budget: rs < 1e8 in the fixture, mod_number < 100.
     return f"CAST({ts} AS HUGEINT)*10000000000 + CAST({rs} AS HUGEINT)*100 + {mn}"
 
 
@@ -185,12 +188,13 @@ def _exploded_sql(fx: str) -> str:
     return f"""
   raw AS (
     SELECT partition_token, epoch_us(commit_ts) AS ts, record_sequence AS rs,
-           server_txn_id, mods
+           server_txn_id, mods, mod_type, value_capture_type
     FROM read_parquet('{fx}/events/*/*.parquet', hive_partitioning=1)
     WHERE record_type = 'data_change'
   ),
   exploded AS (
     SELECT DISTINCT partition_token, ts, rs, server_txn_id,
+           mod_type, value_capture_type,
            mn - 1 AS mod_number,
            mods[mn].keys AS keys, mods[mn].new_values AS new_values,
            mods[mn].old_values AS old_values
@@ -200,10 +204,23 @@ def _exploded_sql(fx: str) -> str:
     SELECT json_extract_string(keys, '$.repo') AS repo,
            json_extract_string(keys, '$.path') AS path,
            ts, rs, mod_number, partition_token, server_txn_id,
+           mod_type, value_capture_type,
            new_values, old_values,
            {_seq_sql()} AS k
     FROM exploded
   )"""
+
+
+# op derivation mirroring operators/decode.py: null pattern first; under
+# capture types without old images (NEW_ROW / NEW_VALUES) fall back to the
+# record-level ModType mapping.
+_SQL_OP = """
+  CASE WHEN new_values IS NULL THEN 'd'
+       WHEN value_capture_type IN ('NEW_ROW', 'NEW_VALUES') THEN
+            CASE mod_type WHEN 'INSERT' THEN 'c' WHEN 'DELETE' THEN 'd' ELSE 'u' END
+       WHEN old_values IS NULL THEN 'c'
+       ELSE 'u' END
+"""
 
 
 def _col_fold_sql(c: str) -> str:
@@ -284,9 +301,7 @@ def sql_cdc_changes_stream(fx: str) -> str:
     return f"""
 WITH {_exploded_sql(fx)}
 SELECT repo, path,
-  CASE WHEN new_values IS NULL THEN 'd'
-       WHEN old_values IS NULL THEN 'c'
-       ELSE 'u' END AS op,
+  {_SQL_OP} AS op,
   ts AS ts_us, rs AS record_sequence, mod_number, partition_token, server_txn_id
 FROM keyed
 """
@@ -295,9 +310,7 @@ FROM keyed
 def sql_cdc_op_stats(fx: str) -> str:
     return f"""
 WITH {_exploded_sql(fx)}
-SELECT CASE WHEN new_values IS NULL THEN 'd'
-            WHEN old_values IS NULL THEN 'c'
-            ELSE 'u' END AS op,
+SELECT {_SQL_OP} AS op,
        count(*) AS n_records,
        count(DISTINCT repo || chr(0) || path) AS n_keys
 FROM keyed GROUP BY 1
@@ -376,8 +389,7 @@ def sql_cdc_envelope(fx: str) -> str:
     return f"""
 WITH {_exploded_sql(fx)}
 SELECT
-  CASE WHEN new_values IS NULL THEN 'd'
-       WHEN old_values IS NULL THEN 'c' ELSE 'u' END AS op,
+  {_SQL_OP} AS op,
   repo, path, ts AS ts_us, rs AS record_sequence, mod_number, partition_token,
   json_extract_string(old_values, '$.commit') AS before_commit,
   json_extract_string(new_values, '$.commit') AS after_commit,

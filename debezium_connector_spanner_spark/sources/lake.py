@@ -38,12 +38,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 BUCKET_COL = "__bucket"
+CDC_TS_COL = "__cdc_ts"
+_LONG_MIN = -(1 << 63)
 
 # fold flags carried by merge-on-read delta files (see commit_delta)
 DELTA_FLAG_FIELDS = [
     T.StructField("_is_delete", T.BooleanType(), True),
     T.StructField("_had_delete", T.BooleanType(), True),
 ]
+
+
+def _set_flag_fields(schema: T.StructType, key_cols: list[str]) -> list[T.StructField]:
+    """Per-value-column written flags persisted with each delta row: True
+    when the batch wrote the column (possibly to an explicit NULL). Old
+    delta files without them read as NULL and fall back to value-non-null."""
+    return [
+        T.StructField(f"__set_{f.name}", T.BooleanType(), True)
+        for f in schema.fields
+        if f.name not in key_cols and f.name != CDC_TS_COL
+    ]
 
 
 def _entry(e) -> tuple:
@@ -247,9 +260,13 @@ class LakeTable:
         paid only at compaction cadence.
         """
         prev, new_id, schema, schema_id, schemas = self._next_snapshot(schema)
-        delta_schema = T.StructType(
-            list(schema.fields) + [f for f in DELTA_FLAG_FIELDS if f.name not in schema.names]
-        )
+        extra = [f for f in DELTA_FLAG_FIELDS if f.name not in schema.names]
+        extra += [
+            f
+            for f in _set_flag_fields(schema, prev["key_cols"])
+            if f.name not in schema.names and f.name in delta_df.columns
+        ]
+        delta_schema = T.StructType(list(schema.fields) + extra)
         new_files = self._write_data_files(
             delta_df,
             delta_schema,
@@ -326,6 +343,8 @@ class LakeTable:
                 groups.setdefault((int(sch_id), int(rank), kind), []).append(
                     os.path.join(self.root, rel)
                 )
+        key_cols = snap["key_cols"]
+        value_names = [f.name for f in target.fields if f.name not in key_cols]
         parts = []
         any_delta = False
         for (sch_id, rank, kind), paths in sorted(groups.items()):
@@ -336,6 +355,11 @@ class LakeTable:
                 read_schema = T.StructType(
                     list(file_schema.fields)
                     + [f for f in DELTA_FLAG_FIELDS if f.name not in file_schema.names]
+                    + [
+                        f
+                        for f in _set_flag_fields(target, key_cols)
+                        if f.name not in file_schema.names
+                    ]
                 )
             df = self.spark.read.schema(read_schema).parquet(*paths)
             names = set(read_schema.fieldNames())
@@ -344,16 +368,40 @@ class LakeTable:
                 for f in target.fields
             ]
             if kind == "delta":
+                # written flag per value column: persisted __set_ flag when
+                # present (explicit-null-aware), else value-non-null
+                def _w_expr(c: str, names=names):
+                    nn = F.col(c).isNotNull() if c in names else F.lit(False)
+                    if f"__set_{c}" in names:
+                        return F.coalesce(F.col(f"__set_{c}"), nn)
+                    return nn
+
+                proj += [_w_expr(c).alias(f"__w_{c}") for c in value_names]
                 proj += [
                     F.coalesce(F.col("_is_delete"), F.lit(False)).alias("_is_delete"),
                     F.coalesce(F.col("_had_delete"), F.lit(False)).alias("_had_delete"),
                 ]
             else:
+                # a base row IS the authoritative state: every column is
+                # 'written' (including genuine NULLs) at the base order
+                proj += [F.lit(True).alias(f"__w_{c}") for c in value_names]
                 proj += [
                     F.lit(False).alias("_is_delete"),
                     F.lit(False).alias("_had_delete"),
                 ]
-            proj.append(F.lit(rank).cast("long").alias("_rank"))
+            # per-row apply order: (commit-ts lineage, snapshot rank).
+            # The ts component makes the fold correct even when delta files
+            # are applied out of per-key commit order (e.g. a stream tail
+            # with maxFilesPerTrigger seeing overlapping file time ranges);
+            # rank breaks ties for same-ts rows (base < any delta).
+            ots = (
+                F.coalesce(F.col(CDC_TS_COL).cast("long"), F.lit(_LONG_MIN))
+                if CDC_TS_COL in names
+                else F.lit(_LONG_MIN)
+            )
+            proj.append(
+                F.struct(ots.alias("ts"), F.lit(rank).cast("long").alias("rank")).alias("_o")
+            )
             parts.append(df.select(*proj))
         if not parts:
             return self.spark.createDataFrame([], target)
@@ -361,30 +409,32 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         if not any_delta:
-            return out.drop("_is_delete", "_had_delete", "_rank")
-        return fold_ranked(out, snap["key_cols"], target)
+            return out.drop("_is_delete", "_had_delete", "_o", *[f"__w_{c}" for c in value_names])
+        return fold_ranked(out, key_cols, target)
 
 
 def fold_ranked(df: DataFrame, key_cols: list[str], target: T.StructType) -> DataFrame:
-    """Merge-on-read fold: one hash aggregation per key over ranked rows
-    (base rank 0, deltas in commit order). Mirrors the event-level LWW
-    fold in operators/merge.py one level up: each delta row is itself a
-    folded batch, with ``_had_delete`` acting as the delete barrier and
-    ``_is_delete`` of the top rank deciding existence.
+    """Merge-on-read fold: one hash aggregation per key over ordered rows
+    (order ``_o`` = (commit-ts lineage, snapshot rank); base rows sort
+    first). Mirrors the event-level LWW fold in operators/merge.py one
+    level up: each delta row is itself a folded batch, with
+    ``_had_delete`` acting as the delete barrier, ``_is_delete`` of the
+    top row deciding existence, and ``__w_c`` written flags applying
+    explicit-NULL column writes.
 
     max-only aggregates -> map-side partial aggregation -> hot-key safe.
     """
     value_cols = [f.name for f in target.fields if f.name not in key_cols]
     aggs = [
-        F.max(F.struct(F.col("_rank"), F.col("_is_delete"))).alias("_top"),
-        F.max(F.when(F.col("_had_delete"), F.col("_rank"))).alias("_barrier"),
+        F.max(F.struct(F.col("_o").alias("o"), F.col("_is_delete"))).alias("_top"),
+        F.max(F.when(F.col("_had_delete"), F.col("_o"))).alias("_barrier"),
     ]
     for c in value_cols:
         aggs.append(
             F.max(
                 F.when(
-                    F.col(c).isNotNull(),
-                    F.struct(F.col("_rank").alias("r"), F.col(c).alias("v")),
+                    F.col(f"__w_{c}"),
+                    F.struct(F.col("_o").alias("o"), F.col(c).alias("v")),
                 )
             ).alias(f"_m_{c}")
         )
@@ -393,7 +443,7 @@ def fold_ranked(df: DataFrame, key_cols: list[str], target: T.StructType) -> Dat
     cols = [F.col(c) for c in key_cols]
     for c in value_cols:
         alive = F.col(f"_m_{c}").isNotNull() & (
-            F.col("_barrier").isNull() | (F.col(f"_m_{c}.r") >= F.col("_barrier"))
+            F.col("_barrier").isNull() | (F.col(f"_m_{c}.o") >= F.col("_barrier"))
         )
         cols.append(F.when(alive, F.col(f"_m_{c}.v")).alias(c))
     return g.select(*cols)

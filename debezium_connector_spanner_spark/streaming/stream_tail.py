@@ -8,10 +8,13 @@ deterministic/batch-windowed shape with the partition-DAG gate.
 
 Ordering contract: within one micro-batch the fold orders by
 (commit_ts, record_sequence, mod_number), which is exact. ACROSS
-micro-batches, file-arrival order must respect per-key commit order —
-true when log files are published in commit-ts order (the normal CDC
-log layout; our generator writes ts-sorted files). For arbitrary
-arrival order, use the replay engine's time-windowed batches + DAG gate.
+micro-batches with the default MOR sink, the read-time fold orders rows
+by (__cdc_ts, snapshot rank), so out-of-order file arrival (e.g.
+maxFilesPerTrigger slicing overlapping file time ranges) still resolves
+each COLUMN to its latest-commit-ts write. Remaining caveat: per-key
+delete-vs-rewrite interleavings finer than one batch row can't be
+reconstructed across batches — for adversarial arrival orders use the
+replay engine's time-windowed batches + DAG gate (engine.py).
 
 Reference parity: this replaces the long-poll change-stream loop
 (/root/reference db/stream/SpannerChangeStream.java:125-169 +

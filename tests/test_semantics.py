@@ -1,0 +1,138 @@
+"""Targeted semantics tests for round-2 fixes:
+
+- explicit JSON null in new_values is a WRITE (not 'column untouched') —
+  reference emits the null (schema/mapper/JsonNodeStructValueConvertor.java)
+- NEW_VALUES capture: op from record-level mod_type, not the null pattern
+  (db/model/ValueCaptureType.java:12-18,
+  processor/SpannerChangeRecordEmitter.java:42-52)
+- record_sequence orders numerically ('10' after '9'), matching
+  context/offset/SpannerOffsetContextFactory.java identity order
+- merge-on-read fold resolves by (__cdc_ts, rank): a batch applied late
+  (higher rank, older commit ts) must not overwrite newer values
+"""
+
+import json
+import os
+
+
+from debezium_connector_spanner_spark.operators.decode import decode_mods
+from debezium_connector_spanner_spark.operators.merge import fold_changes, merge_into
+from debezium_connector_spanner_spark.sources.event_schema import (
+    EVENT_LOG_SCHEMA,
+    REPOS_SCHEMA_V1,
+)
+from debezium_connector_spanner_spark.sources.lake import LakeTable
+
+
+def _event(token, ts_us, rs, txn, mods, mod_type="UPDATE", vct="OLD_AND_NEW_VALUES"):
+    return {
+        "record_type": "data_change",
+        "partition_token": token,
+        "commit_ts": ts_us,
+        "record_sequence": rs,
+        "server_txn_id": txn,
+        "is_last_in_txn_in_partition": True,
+        "table_name": "repos",
+        "column_types": REPOS_SCHEMA_V1.column_types_json(),
+        "mods": mods,
+        "mod_type": mod_type,
+        "value_capture_type": vct,
+        "number_of_records_in_transaction": 1,
+        "number_of_partitions_in_transaction": 1,
+        "transaction_tag": "",
+        "is_system_transaction": False,
+        "child_partitions": None,
+    }
+
+
+def _mod(key, new, old):
+    return {
+        "keys": json.dumps(key, sort_keys=True),
+        "new_values": None if new is None else json.dumps(new, sort_keys=True),
+        "old_values": None if old is None else json.dumps(old, sort_keys=True),
+    }
+
+
+def _events_df(spark, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows)
+    pdf["commit_ts"] = pd.to_datetime(pdf["commit_ts"], unit="us")
+    return spark.createDataFrame(pdf, EVENT_LOG_SCHEMA)
+
+
+KEY = {"repo": "r1", "path": "p1"}
+
+
+def test_explicit_null_update_applied(spark, tmp_root):
+    """UPDATE {'lang': null} must null out lang, not keep the stale value."""
+    rows = [
+        _event("t", 1_000, "1", "x1", [_mod(KEY, {"commit": "c0", "lang": "go", "content": "b0"}, None)], "INSERT"),
+        _event("t", 2_000, "2", "x2", [_mod(KEY, {"lang": None}, {"lang": "go"})]),
+    ]
+    ev = _events_df(spark, rows)
+    decoded = decode_mods(ev, REPOS_SCHEMA_V1)
+    folded = fold_changes(decoded, ["repo", "path"], ["commit", "lang", "content"])
+    got = folded.collect()[0].asDict()
+    assert got["lang"] is None and got["_w_lang"] is True
+    assert got["commit"] == "c0" and got["content"] == "b0"
+
+    # and through the MERGE (both sink modes) against a base row
+    for mode in ("mor", "cow"):
+        root = os.path.join(tmp_root, f"tbl-{mode}")
+        base = spark.createDataFrame(
+            [("r1", "p1", "cb", "java", "bb")], REPOS_SCHEMA_V1.spark_struct()
+        )
+        t = LakeTable.create(
+            spark, root, REPOS_SCHEMA_V1.spark_struct(), ["repo", "path"], 2, base
+        )
+        merge_into(t, folded, target_schema=REPOS_SCHEMA_V1.spark_struct(), mode=mode)
+        out = t.read().collect()[0].asDict()
+        assert out["lang"] is None, mode
+        assert out["commit"] == "c0" and out["content"] == "b0", mode
+
+
+def test_new_values_capture_op_from_mod_type(spark):
+    """Under NEW_VALUES capture old_values is always null; op must come
+    from mod_type so UPDATEs aren't misread as INSERTs."""
+    rows = [
+        _event("t", 1_000, "1", "x1", [_mod(KEY, {"commit": "c0"}, None)], "INSERT", "NEW_VALUES"),
+        _event("t", 2_000, "2", "x2", [_mod(KEY, {"commit": "c1"}, None)], "UPDATE", "NEW_VALUES"),
+        _event("t", 3_000, "3", "x3", [_mod(KEY, None, None)], "DELETE", "NEW_VALUES"),
+    ]
+    decoded = decode_mods(_events_df(spark, rows), REPOS_SCHEMA_V1)
+    ops = {r["record_sequence"]: r["op"] for r in decoded.select("record_sequence", "op").collect()}
+    assert ops == {"1": "c", "2": "u", "3": "d"}
+
+
+def test_record_sequence_numeric_order(spark):
+    """Same-commit-ts records: rs '10' must fold after rs '9'."""
+    rows = [
+        _event("t", 1_000, "9", "x1", [_mod(KEY, {"commit": "old"}, None)], "INSERT"),
+        _event("t", 1_000, "10", "x2", [_mod(KEY, {"commit": "new"}, {"commit": "old"})]),
+    ]
+    decoded = decode_mods(_events_df(spark, rows), REPOS_SCHEMA_V1)
+    folded = fold_changes(decoded, ["repo", "path"], ["commit", "lang", "content"])
+    assert folded.collect()[0]["commit"] == "new"
+
+
+def test_mor_fold_out_of_order_batches(spark, tmp_root):
+    """Deltas applied out of commit-ts order (older batch at higher rank)
+    must not win: fold_ranked orders by (__cdc_ts, rank), not rank."""
+    root = os.path.join(tmp_root, "tbl")
+    t = LakeTable.create(
+        spark, root, REPOS_SCHEMA_V1.spark_struct(), ["repo", "path"], 2
+    )
+
+    def batch(ts_us, commit):
+        rows = [_event("t", ts_us, "1", f"x{ts_us}", [_mod(KEY, {"commit": commit, "lang": "go", "content": "b"}, None)], "INSERT")]
+        decoded = decode_mods(_events_df(spark, rows), REPOS_SCHEMA_V1)
+        return fold_changes(decoded, ["repo", "path"], ["commit", "lang", "content"])
+
+    # newer batch (ts=5000) lands first; older batch (ts=1000) arrives late
+    merge_into(t, batch(5_000, "newer"), target_schema=REPOS_SCHEMA_V1.spark_struct(), mode="mor")
+    merge_into(t, batch(1_000, "older"), target_schema=REPOS_SCHEMA_V1.spark_struct(), mode="mor")
+    assert t.read().collect()[0]["commit"] == "newer"
+    # and compaction preserves the resolution
+    t.compact()
+    assert t.read().collect()[0]["commit"] == "newer"
