@@ -42,6 +42,7 @@ from debezium_connector_spanner_spark.sources.event_schema import (
     REPOS_SCHEMA_V1,
     REPOS_SCHEMA_V2,
     REPOS_SCHEMA_V3,
+    TYPES_PROBE_SCHEMA,
 )
 
 EPOCH_MICROS = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z
@@ -103,6 +104,9 @@ class GeneratorConfig:
     # apply the null, not keep the stale value)
     null_update_frac: float = 0.10
     fixture_version: int = 2          # bump to invalidate cached fixtures
+    # second change-stream table with every supported type code (multi-
+    # table routing + DataTypesIT-style end-to-end fidelity); 0 = disabled
+    types_probe_keys: int = 0
     schema_evolution: bool = False
     evolve_add_at: float = 0.40       # stars INT64 appears
     evolve_widen_at: float = 0.75     # stars -> FLOAT64
@@ -155,6 +159,7 @@ class FixtureBuilder:
         self.rows: list[dict] = []
         self.base_rows: list[dict] = []
         self.final: dict[tuple[str, str], dict] = {}
+        self.types_final: dict[int, dict] = {}
         self.stats = {"data_change": 0, "duplicates": 0, "mods": 0}
 
     # ------------------------------------------------------------- events
@@ -277,6 +282,109 @@ class FixtureBuilder:
         if state is not None:
             self.final[(repo, path)] = dict(state)
 
+    # --------------------------------------------------- types_probe table
+    TYPES_VALUE_COLS = [c.name for c in TYPES_PROBE_SCHEMA.columns if not c.is_primary_key]
+
+    def _fresh_types_row(self, key_id: int, rev: int) -> dict:
+        """Deterministic typed row; float values are dyadic rationals so
+        both engines and the oracle agree bit-for-bit."""
+        import base64 as _b64
+
+        h = _h64("tp", self.cfg.seed, key_id, rev)
+        return {
+            "c_string": f"s-{key_id}-{rev}",
+            "c_int64": h % 100_000,
+            "c_float64": (h % 100_000) / 8.0,
+            "c_float32": (h % 1024) / 4.0,
+            "c_bool": h % 2 == 0,
+            "c_bytes": _b64.b64encode(
+                hashlib.blake2b(f"b|{key_id}|{rev}".encode(), digest_size=12).digest()
+            ).decode(),
+            "c_numeric": f"{h % 10**6}.{h % 97:02d}",
+            "c_date": f"20{10 + h % 20:02d}-{1 + h % 12:02d}-{1 + h % 28:02d}",
+            "c_timestamp": f"2026-01-01T{h % 24:02d}:{h % 60:02d}:00Z",
+            "c_json": json.dumps({"k": h % 10, "tag": f"t{rev}"}, sort_keys=True),
+            "c_arr_str": [f"a{h % 7}", None, f"b{rev}"],
+            "c_arr_int": [h % 13, (h // 7) % 13],
+        }
+
+    def _emit_types_chain(self, key_id: int):
+        """INSERT/UPDATE/DELETE chain for one types_probe key, same DAG
+        token ownership + duplicate semantics as the repos chains."""
+        cfg = self.cfg
+        rnd = random.Random(_h64("tchain", cfg.seed, key_id))
+        key_frac = _h64("tkf", cfg.seed, key_id) / 2**64
+        m = 1 + rnd.randrange(2 * cfg.events_per_key_mean - 1)
+        fracs = sorted(rnd.uniform(0.002, 0.995) for _ in range(m))
+        micros, last = [], -1
+        for f in fracs:
+            us = int(f * cfg.duration_s * 1_000_000)
+            if us <= last:
+                us = last + 1
+            micros.append(us)
+            last = us
+
+        keys = {"id": key_id}
+        state: dict | None = None
+        for j, us in enumerate(micros):
+            tf = us / (cfg.duration_s * 1_000_000)
+            token = owner_token(key_frac, tf)
+            if state is None:
+                op = "INSERT"
+            elif rnd.random() < cfg.delete_frac:
+                op = "DELETE"
+            else:
+                op = "UPDATE"
+            if op == "DELETE":
+                old = dict(state)
+                state = None
+                mod = self._mod_raw(keys, None, old)
+            elif op == "INSERT":
+                state = self._fresh_types_row(key_id, j)
+                mod = self._mod_raw(keys, dict(state), None)
+            else:
+                changed = rnd.sample(
+                    self.TYPES_VALUE_COLS, 1 + rnd.randrange(len(self.TYPES_VALUE_COLS))
+                )
+                fresh = self._fresh_types_row(key_id, j)
+                old = {c: state.get(c) for c in changed}
+                new = {c: fresh[c] for c in changed}
+                if "c_string" in new and rnd.random() < cfg.null_update_frac:
+                    new["c_string"] = None  # explicit-null write
+                state = {**state, **new}
+                mod = self._mod_raw(keys, new, old)
+            row = self._emit(
+                record_type=DATA_CHANGE,
+                partition_token=token,
+                commit_ts=us,
+                record_sequence=str(_h64("trs", cfg.seed, key_id, j) % 10**8),
+                server_txn_id=f"ttxn-{key_id:08d}-{j:04d}",
+                is_last_in_txn_in_partition=True,
+                table_name="types_probe",
+                column_types=TYPES_PROBE_SCHEMA.column_types_json(),
+                mods=[mod],
+                mod_type=op,
+                value_capture_type="OLD_AND_NEW_VALUES",
+                number_of_records_in_transaction=1,
+                number_of_partitions_in_transaction=1,
+                transaction_tag="",
+                is_system_transaction=False,
+            )
+            self.stats["data_change"] += 1
+            self.stats["mods"] += 1
+            if rnd.random() < cfg.dup_frac:
+                self.rows.append(dict(row))
+                self.stats["duplicates"] += 1
+        if state is not None:
+            self.types_final[key_id] = dict(state)
+
+    def _mod_raw(self, keys: dict, new: dict | None, old: dict | None) -> dict:
+        return {
+            "keys": json.dumps(keys, sort_keys=True),
+            "new_values": None if new is None else json.dumps(new, sort_keys=True),
+            "old_values": None if old is None else json.dumps(old, sort_keys=True),
+        }
+
     def _fresh_row(self, repo, path, rev, tf, rnd) -> dict:
         cfg = self.cfg
         row = {
@@ -362,6 +470,8 @@ class FixtureBuilder:
         else:
             for key_id, (repo, path) in enumerate(keys):
                 self._emit_key_chain(key_id, repo, path)
+        for k in range(self.cfg.types_probe_keys):
+            self._emit_types_chain(k)
         self._emit_control()
         # stable global order: (commit_ts, token, record_sequence)
         self.rows.sort(
@@ -500,6 +610,41 @@ def write_fixture(out_dir: str, cfg: GeneratorConfig, force: bool = False) -> di
         )
         pq.write_table(sl, os.path.join(tmp, "schema_log.parquet"))
 
+    if cfg.types_probe_keys:
+        import base64 as _b64
+
+        types_arrow = pa.schema(
+            [
+                ("id", pa.int64()),
+                ("c_string", pa.string()),
+                ("c_int64", pa.int64()),
+                ("c_float64", pa.float64()),
+                ("c_float32", pa.float32()),
+                ("c_bool", pa.bool_()),
+                ("c_bytes", pa.binary()),
+                ("c_numeric", pa.string()),
+                ("c_date", pa.string()),
+                ("c_timestamp", pa.string()),
+                ("c_json", pa.string()),
+                ("c_arr_str", pa.list_(pa.string())),
+                ("c_arr_int", pa.list_(pa.int64())),
+            ]
+        )
+        trows = []
+        for k, v in sorted(b.types_final.items()):
+            r = {"id": k, **v}
+            if r.get("c_bytes") is not None:
+                r["c_bytes"] = _b64.b64decode(r["c_bytes"])  # physical shape
+            trows.append(r)
+        cols = {
+            f.name: pa.array([r.get(f.name) for r in trows], type=f.type)
+            for f in types_arrow
+        }
+        pq.write_table(
+            pa.table(cols, schema=types_arrow),
+            os.path.join(tmp, "expected_final_types.parquet"),
+        )
+
     # generator-side expected final state (independent fold oracle lives
     # in fixtures/oracle.py)
     fcols = base_cols + (["stars"] if cfg.schema_evolution else [])
@@ -552,6 +697,7 @@ def fixture_config_for_sf(sf_dir: str, schema_evolution: bool = False) -> Genera
         paths_per_repo=8,
         hot_repos=max(1, scale // 2),
         schema_evolution=schema_evolution,
+        types_probe_keys=24 * scale,  # second table: multi-table routing
     )
 
 

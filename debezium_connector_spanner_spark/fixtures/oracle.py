@@ -36,7 +36,7 @@ def read_events(fixture_dir: str) -> pd.DataFrame:
 
 def fold_final_state(fixture_dir: str) -> pd.DataFrame:
     ev = read_events(fixture_dir)
-    ev = ev[ev["record_type"] == "data_change"]
+    ev = ev[(ev["record_type"] == "data_change") & (ev["table_name"] == "repos")]
 
     base_path = os.path.join(fixture_dir, "base_repos.parquet")
     state: dict[tuple[str, str], dict] = {}

@@ -59,8 +59,13 @@ def seq_col() -> F.Column:
 
 
 def explode_mods(events: DataFrame) -> DataFrame:
-    """D3: one row per (record, mod), positional mod_number."""
-    data = events.where(F.col("record_type") == DATA_CHANGE)
+    """D3: one row per (record, mod), positional mod_number. Accepts
+    pre-filtered slim frames that already dropped record_type."""
+    data = (
+        events.where(F.col("record_type") == DATA_CHANGE)
+        if "record_type" in events.columns
+        else events
+    )
     return data.select(
         "partition_token",
         "commit_ts",
@@ -88,8 +93,8 @@ def decode_mods(
     ``include_old=False`` (the MERGE hot path) skips parsing old_values —
     the fold never reads before-images; only the envelope path needs them.
     """
-    key_struct = schema.spark_struct(schema.key_columns)
-    val_struct = schema.spark_struct(schema.value_columns)
+    key_struct = schema.spark_struct(schema.key_columns, json_shape=True)
+    val_struct = schema.spark_struct(schema.value_columns, json_shape=True)
 
     m = explode_mods(events)
     if use_pandas_udf:
@@ -108,6 +113,22 @@ def decode_mods(
             if include_old
             else F.lit(None).cast(val_struct)
         )
+
+    if schema.needs_cast():
+        # JSON shape != sink shape (BYTES base64 string -> binary): apply
+        # the Connect-mapping casts, preserving null-in -> null-struct-out
+        phys = schema.spark_struct(schema.value_columns)
+
+        def _cast(col: F.Column, raw: F.Column) -> F.Column:
+            return F.when(raw.isNull(), F.lit(None).cast(phys)).otherwise(
+                apply_spanner_casts(col, schema)
+            )
+
+        vals = _cast(vals, F.col("mod.new_values"))
+        if include_old:
+            olds = _cast(olds, F.col("mod.old_values"))
+        else:
+            olds = F.lit(None).cast(phys)
 
     # NEW_ROW / NEW_VALUES capture can't distinguish c/u by null pattern
     # (old_values is always null); fall back to the record-level ModType

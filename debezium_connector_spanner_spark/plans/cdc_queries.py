@@ -34,16 +34,25 @@ from debezium_connector_spanner_spark.operators.decode import (
 from debezium_connector_spanner_spark.sources.event_schema import (
     EVENT_LOG_SCHEMA,
     REPOS_SCHEMA_V1,
+    TYPES_PROBE_SCHEMA,
 )
 from debezium_connector_spanner_spark.streaming.engine import CdcReplayEngine
 
-RUN_FORMAT = 5  # bump to invalidate cached replay state after engine changes
+RUN_FORMAT = 6  # bump to invalidate cached replay state after engine changes
 N_BATCHES = 8
 
 
 # --------------------------------------------------------------- helpers
 def _events(spark: SparkSession, fx: str) -> DataFrame:
     return spark.read.schema(EVENT_LOG_SCHEMA).parquet(os.path.join(fx, "events"))
+
+
+def _repos_events(spark: SparkSession, fx: str) -> DataFrame:
+    """The repos slice of the (multi-table) change stream — D10 include
+    filter ahead of decode."""
+    from debezium_connector_spanner_spark.operators.decode import table_filter
+
+    return table_filter(_events(spark, fx), include_regex="^repos$")
 
 
 def replayed_engine(
@@ -56,6 +65,10 @@ def replayed_engine(
     root = os.path.join(fx, f"{tag}-v{RUN_FORMAT}")
     cfg = fixture_config_for_sf(sf_dir, schema_evolution)
     base = spark.read.parquet(os.path.join(fx, "base_repos.parquet"))
+    fresh = not os.path.exists(os.path.join(root, "table"))
+    tables = {"repos": (REPOS_SCHEMA_V1, base if fresh else None)}
+    if cfg.types_probe_keys:
+        tables["types_probe"] = (TYPES_PROBE_SCHEMA, None)
     eng = CdcReplayEngine(
         spark,
         fx,
@@ -64,8 +77,7 @@ def replayed_engine(
         start_us=EPOCH_MICROS,
         end_us=EPOCH_MICROS + cfg.duration_s * 1_000_000,
         n_batches=N_BATCHES,
-        initial_schema=REPOS_SCHEMA_V1,
-        base_df=base if not os.path.exists(os.path.join(root, "table")) else None,
+        tables=tables,
         n_buckets=16,
     )
     eng.run()  # no-op when the checkpoint says complete
@@ -92,7 +104,7 @@ def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decoded, identity-deduped change stream (op derived per mod)."""
     fx = ensure_fixture(sf_dir)
-    decoded = decode_mods(_events(spark, fx), REPOS_SCHEMA_V1)
+    decoded = decode_mods(_repos_events(spark, fx), REPOS_SCHEMA_V1)
     d = dedup_identity(decoded)
     return d.select(
         "repo",
@@ -108,7 +120,7 @@ def q_cdc_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = ensure_fixture(sf_dir)
-    decoded = dedup_identity(decode_mods(_events(spark, fx), REPOS_SCHEMA_V1))
+    decoded = dedup_identity(decode_mods(_repos_events(spark, fx), REPOS_SCHEMA_V1))
     return decoded.groupBy("op").agg(
         F.count(F.lit(1)).alias("n_records"),
         F.countDistinct("repo", "path").alias("n_keys"),
@@ -190,7 +202,7 @@ def _exploded_sql(fx: str) -> str:
     SELECT partition_token, epoch_us(commit_ts) AS ts, record_sequence AS rs,
            server_txn_id, mods, mod_type, value_capture_type
     FROM read_parquet('{fx}/events/*/*.parquet', hive_partitioning=1)
-    WHERE record_type = 'data_change'
+    WHERE record_type = 'data_change' AND table_name = 'repos'
   ),
   exploded AS (
     SELECT DISTINCT partition_token, ts, rs, server_txn_id,
@@ -339,8 +351,139 @@ GROUP BY partition_token
 """
 
 
+def q_cdc_types_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table routing + end-to-end type fidelity (mirrors the
+    reference's DataTypesIT.java:33-125): the SAME replay run that builds
+    `repos` also routes `types_probe` events to their own LakeTable with
+    every supported Spanner type code — BYTES lands BINARY in the sink,
+    FLOAT32 down-cast, typed arrays. Hash-safe projection: binary
+    re-encoded base64, arrays canonicalized via to_json, on both engines."""
+    eng = replayed_engine(spark, sf_dir)
+    fs = eng.final_state("types_probe")
+    return fs.select(
+        "id",
+        "c_string",
+        "c_int64",
+        "c_float64",
+        "c_float32",
+        "c_bool",
+        F.base64("c_bytes").alias("c_bytes_b64"),
+        "c_numeric",
+        "c_date",
+        "c_timestamp",
+        "c_json",
+        F.to_json("c_arr_str").alias("c_arr_str_json"),
+        F.to_json("c_arr_int").alias("c_arr_int_json"),
+    )
+
+
+def sql_cdc_types_final_state(fx: str) -> str:
+    """Independent DuckDB fold of the types_probe slice (no base table:
+    a key exists iff its last event wasn't a DELETE)."""
+    cols = [
+        ("c_string", "v_c_string"),
+        ("c_int64", "CAST(v_c_int64 AS BIGINT)"),
+        ("c_float64", "CAST(v_c_float64 AS DOUBLE)"),
+        ("c_float32", "CAST(v_c_float32 AS FLOAT)"),
+        ("c_bool", "CAST(v_c_bool AS BOOLEAN)"),
+        ("c_bytes_b64", "v_c_bytes"),
+        ("c_numeric", "v_c_numeric"),
+        ("c_date", "v_c_date"),
+        ("c_timestamp", "v_c_timestamp"),
+        ("c_json", "v_c_json"),
+        ("c_arr_str_json", "CAST(json_extract(v_raw, '$.c_arr_str') AS VARCHAR)"),
+        ("c_arr_int_json", "CAST(json_extract(v_raw, '$.c_arr_int') AS VARCHAR)"),
+    ]
+    src_cols = [
+        "c_string", "c_int64", "c_float64", "c_float32", "c_bool", "c_bytes",
+        "c_numeric", "c_date", "c_timestamp", "c_json",
+    ]
+    folds = [_col_fold_sql(c) for c in src_cols]
+    # arrays: fold the RAW row image of the winning write, then extract the
+    # array as canonical JSON text (json_extract_string flattens arrays)
+    for c in ("c_arr_str", "c_arr_int"):
+        written = f"list_contains(json_keys(new_values), '{c}')"
+        folds.append(
+            f"""
+      arg_max(struct_pack(v := new_values),
+              CASE WHEN {written} THEN k END).v AS raw_{c},
+      max(CASE WHEN {written} THEN k END) AS k_{c}"""
+        )
+
+    def pick(c: str, v_expr: str) -> str:
+        return f"""
+      CASE WHEN k_{c} IS NOT NULL AND (del_k IS NULL OR k_{c} > del_k)
+           THEN {v_expr} ELSE NULL END"""
+
+    src_of = {
+        "c_bytes_b64": "c_bytes",
+        "c_arr_str_json": "c_arr_str",
+        "c_arr_int_json": "c_arr_int",
+    }
+    sel = ["id"]
+    for out, v in cols:
+        src = src_of.get(out, out)
+        v = v.replace("v_raw", f"raw_{src}")
+        sel.append(pick(src, v) + f" AS {out}")
+
+    return f"""
+WITH
+  raw AS (
+    SELECT partition_token, epoch_us(commit_ts) AS ts, record_sequence AS rs,
+           server_txn_id, mods
+    FROM read_parquet('{fx}/events/*/*.parquet', hive_partitioning=1)
+    WHERE record_type = 'data_change' AND table_name = 'types_probe'
+  ),
+  exploded AS (
+    SELECT DISTINCT partition_token, ts, rs, server_txn_id,
+           mn - 1 AS mod_number,
+           mods[mn].keys AS keys, mods[mn].new_values AS new_values
+    FROM raw, UNNEST(generate_series(1, len(mods))) AS t(mn)
+  ),
+  keyed AS (
+    SELECT CAST(json_extract_string(keys, '$.id') AS BIGINT) AS id,
+           new_values, {_seq_sql()} AS k
+    FROM exploded
+  ),
+  folded AS (
+    SELECT id,
+      arg_max(new_values IS NULL, k) AS last_is_del,
+      max(CASE WHEN new_values IS NULL THEN k END) AS del_k,
+      {', '.join(folds)}
+    FROM keyed GROUP BY id
+  )
+SELECT {', '.join(sel)}
+FROM folded WHERE NOT last_is_del
+"""
+
+
+def q_cdc_multi_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table event routing stats over the multi-table change stream
+    (SpannerEventDispatcher dispatch counts)."""
+    fx = ensure_fixture(sf_dir)
+    ev = _events(spark, fx).where(F.col("record_type") == "data_change")
+    return ev.groupBy("table_name").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.size("mods").cast("long")).alias("n_mods"),
+        F.countDistinct("partition_token").alias("n_tokens"),
+    )
+
+
+def sql_cdc_multi_table_stats(fx: str) -> str:
+    return f"""
+SELECT table_name, count(*) AS n_records,
+       CAST(sum(len(mods)) AS BIGINT) AS n_mods,
+       count(DISTINCT partition_token) AS n_tokens
+FROM read_parquet('{fx}/events/*/*.parquet', hive_partitioning=1)
+WHERE record_type = 'data_change'
+GROUP BY table_name
+"""
+
+
 CDC_QUERIES = {
     "cdc_final_state": q_cdc_final_state,
+    "cdc_types_final_state": q_cdc_types_final_state,
+    "cdc_multi_table_stats": q_cdc_multi_table_stats,
     "cdc_changes_stream": q_cdc_changes_stream,
     "cdc_op_stats": q_cdc_op_stats,
     "cdc_dag_edges": q_cdc_dag_edges,
@@ -358,6 +501,8 @@ def cdc_oracles(sf_name: str = "sf0.01") -> dict[str, str]:
         "cdc_op_stats": sql_cdc_op_stats(fx),
         "cdc_dag_edges": sql_cdc_dag_edges(fx),
         "cdc_heartbeat_progress": sql_cdc_heartbeat_progress(fx),
+        "cdc_types_final_state": sql_cdc_types_final_state(fx),
+        "cdc_multi_table_stats": sql_cdc_multi_table_stats(fx),
         "cdc_final_state_evolved": sql_cdc_final_state_evolved(_fx_path(sf_name, evo=True)),
         # cdc_watermark_trace: rows-only by design (engine-internal metrics)
     }
@@ -368,7 +513,7 @@ def q_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_connector_spanner_spark.operators.envelope import to_envelope
 
     fx = ensure_fixture(sf_dir)
-    decoded = decode_mods(_events(spark, fx), REPOS_SCHEMA_V1, include_old=True)
+    decoded = decode_mods(_repos_events(spark, fx), REPOS_SCHEMA_V1, include_old=True)
     env = to_envelope(decoded, low_watermark_us=0)
     return env.select(
         "op",

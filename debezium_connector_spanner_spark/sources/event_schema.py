@@ -103,6 +103,9 @@ class ColumnSpec:
 
 # ColumnTypeSchemaMapper.java:22-55 — timestamps/dates/numerics/json stay
 # strings; that mapping is the semantic we reproduce for final-state equality.
+# BYTES is BINARY in the sink (JsonNodeStructValueConvertor.java:27-33
+# base64-decodes the JSON string); the JSON decode shape keeps it STRING
+# (the row image carries base64 text) and apply_spanner_casts converts.
 _SCALAR = {
     "STRING": T.StringType(),
     "NUMERIC": T.StringType(),
@@ -115,17 +118,21 @@ _SCALAR = {
     "BOOL": T.BooleanType(),
     "FLOAT32": T.FloatType(),
     "FLOAT64": T.DoubleType(),
-    "BYTES": T.StringType(),  # carried base64; decode via F.unbase64 on demand
+    "BYTES": T.BinaryType(),
 }
 
 
-def spark_type_for(code: str, array_element_type: str | None = None) -> T.DataType:
+def spark_type_for(
+    code: str, array_element_type: str | None = None, json_shape: bool = False
+) -> T.DataType:
     code = code.upper()
     if code == "ARRAY":
-        elem = spark_type_for(array_element_type or "STRING")
+        elem = spark_type_for(array_element_type or "STRING", json_shape=json_shape)
         return T.ArrayType(elem, containsNull=True)  # ColumnTypeSchemaMapper.java:51-55
     if code not in _SCALAR:
         raise ValueError(f"unsupported Spanner type code: {code}")
+    if json_shape and code == "BYTES":
+        return T.StringType()  # base64 text in the JSON row image
     return _SCALAR[code]
 
 
@@ -150,13 +157,28 @@ class TableSchema:
                 return c
         raise KeyError(name)
 
-    def spark_struct(self, names: list[str] | None = None) -> T.StructType:
+    def spark_struct(
+        self, names: list[str] | None = None, json_shape: bool = False
+    ) -> T.StructType:
+        """Physical sink shape by default; ``json_shape=True`` gives the
+        from_json decode shape (BYTES as base64 STRING)."""
         cols = self.columns if names is None else [self.column(n) for n in names]
         return T.StructType(
             [
-                T.StructField(c.name, spark_type_for(c.type_code, c.array_element_type), True)
+                T.StructField(
+                    c.name,
+                    spark_type_for(c.type_code, c.array_element_type, json_shape),
+                    True,
+                )
                 for c in cols
             ]
+        )
+
+    def needs_cast(self) -> bool:
+        """True when the JSON decode shape differs from the sink shape."""
+        return any(
+            c.type_code == "BYTES" or c.array_element_type == "BYTES"
+            for c in self.columns
         )
 
     def column_types_json(self) -> str:
@@ -202,4 +224,27 @@ REPOS_SCHEMA_V3 = TableSchema(
     table="repos",
     columns=REPOS_SCHEMA_V1.columns
     + (ColumnSpec("stars", "FLOAT64", ordinal_position=6),),
+)
+
+# Second change-stream table exercising every supported Spanner type code
+# end-to-end (mirrors src/test/java/.../DataTypesIT.java:33-125): BYTES
+# lands BINARY in the sink, FLOAT32 down-cast, arrays typed, temporal /
+# numeric codes carried as Connect-mapped strings.
+TYPES_PROBE_SCHEMA = TableSchema(
+    table="types_probe",
+    columns=(
+        ColumnSpec("id", "INT64", is_primary_key=True, ordinal_position=1, nullable=False),
+        ColumnSpec("c_string", "STRING", ordinal_position=2),
+        ColumnSpec("c_int64", "INT64", ordinal_position=3),
+        ColumnSpec("c_float64", "FLOAT64", ordinal_position=4),
+        ColumnSpec("c_float32", "FLOAT32", ordinal_position=5),
+        ColumnSpec("c_bool", "BOOL", ordinal_position=6),
+        ColumnSpec("c_bytes", "BYTES", ordinal_position=7),
+        ColumnSpec("c_numeric", "NUMERIC", ordinal_position=8),
+        ColumnSpec("c_date", "DATE", ordinal_position=9),
+        ColumnSpec("c_timestamp", "TIMESTAMP", ordinal_position=10),
+        ColumnSpec("c_json", "JSON", ordinal_position=11),
+        ColumnSpec("c_arr_str", "ARRAY", ordinal_position=12, array_element_type="STRING"),
+        ColumnSpec("c_arr_int", "ARRAY", ordinal_position=13, array_element_type="INT64"),
+    ),
 )

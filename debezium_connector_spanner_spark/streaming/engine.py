@@ -16,18 +16,26 @@ machine. Per batch (reference parity in parentheses, files under
    Token dirs + sorted row groups give partition/rowgroup pruning.
 3. **Progress**: per-token aggregates (count, max ts, end markers) drive
    offsets, heartbeat handling (K2) and per-partition lineage metrics (M1/M3).
-4. **Decode + fold + MERGE** (D1-D9, O5/O12, K1): vectorized decode,
-   single-pass LWW fold, copy-on-write bucket MERGE into the LakeTable.
+4. **Decode + fold + MERGE** (D1-D9, O5/O12, K1): events are routed BY
+   TABLE (processor/SpannerEventDispatcher.java:45-87,
+   schema/KafkaSpannerTableSchemaFactory.java:104-142): each configured
+   table gets its own vectorized decode, single-pass LWW fold and bucketed
+   MERGE into its own LakeTable — independent concurrent Spark jobs, like
+   the reference's per-table topics. The D10 include/exclude regex filter
+   applies before dispatch.
 5. **Watermark** (O9, task/LowWatermarkCalculator.java:47-169):
    min over non-finished partitions of coalesce(offset, start_ts).
-6. **Commit**: snapshot committed FIRST, then the checkpoint (offsets,
-   DAG state, schema version, snapshot id) via atomic rename. On resume,
-   a snapshot newer than the checkpoint is rolled back -> exactly-once
-   (replaces FinishingPartitionManager.java:55-114 commit tracking).
+6. **Commit**: all table snapshots committed FIRST, then the checkpoint
+   (offsets, DAG state, per-table schema version + snapshot id) via atomic
+   rename. On resume, any snapshot newer than the checkpoint is rolled
+   back -> exactly-once (replaces FinishingPartitionManager.java:55-114).
 7. **Schema registry** (db/metadata/SchemaRegistry.java:78-179,
-   SchemaMerger.java:24-53): distinct column_types observed in the batch
-   are merged additively (union of columns, new wins per column;
-   INT64->FLOAT64 widening) and applied to the sink before decode.
+   SchemaMerger.java:24-53): distinct (table, column_types) observed in
+   the batch are merged additively per table (union of columns, new wins
+   per column; INT64->FLOAT64 widening) and applied to that table's sink.
+8. **Batch sizing**: with ``max_events_per_batch`` set, the window is
+   bisected until the probe count fits — batch cost stays bounded as the
+   input grows 100x instead of scaling linearly with fixed n_batches.
 """
 
 from __future__ import annotations
@@ -36,13 +44,13 @@ import json
 import os
 import time
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from debezium_connector_spanner_spark.operators.decode import decode_mods
+from debezium_connector_spanner_spark.operators.decode import decode_mods, table_filter
 from debezium_connector_spanner_spark.operators.merge import (
     CDC_TS_COL,
     fold_changes,
@@ -70,6 +78,14 @@ class TokenState:
     start_us: int
     state: str = CREATED
     offset_us: int | None = None  # exclusive low bound of the next scan
+
+
+@dataclass
+class TableState:
+    """Per-table sink state (schema registry entry + lake table)."""
+
+    schema: TableSchema
+    table: LakeTable
 
 
 _WIDTH = {"INT64": 1, "FLOAT32": 2, "FLOAT64": 3}
@@ -107,19 +123,27 @@ class CdcReplayEngine:
         n_batches: int = 8,
         initial_schema: TableSchema | None = None,
         base_df: DataFrame | None = None,
+        tables: dict[str, tuple[TableSchema, DataFrame | None]] | None = None,
         n_buckets: int = 16,
         use_pandas_udf_decode: bool = False,
         sink_mode: str = "mor",
         compact_every: int = 6,
         skew_mode: str = "fused",  # 'fused' (1 shuffle) | 'salted' (hot keys)
+        table_include: str | None = None,
+        table_exclude: str | None = None,
+        max_events_per_batch: int | None = None,
     ):
         self.spark = spark
         self.events_path = events_path
+        self.table_root = table_root
         self.checkpoint_dir = checkpoint_dir
         self.use_pandas_udf_decode = use_pandas_udf_decode
         self.sink_mode = sink_mode
         self.compact_every = compact_every
         self.skew_mode = skew_mode
+        self.table_include = table_include
+        self.table_exclude = table_exclude
+        self.max_events_per_batch = max_events_per_batch
         # O7/O8 stuck-partition detection (PartitionQueryingMonitor.java:33-120,
         # FinishPartitionWatchDog): an active partition that emits nothing
         # (no data, no heartbeat) for this many consecutive batches is
@@ -128,47 +152,79 @@ class CdcReplayEngine:
         self._stale_counts: dict[str, int] = {}
         os.makedirs(checkpoint_dir, exist_ok=True)
 
+        # normalize the single-table legacy shape to the multi-table one
+        if tables is None:
+            if initial_schema is not None:
+                tables = {initial_schema.table: (initial_schema, base_df)}
+            else:
+                tables = {}
+
         ckpt = self._load_latest_checkpoint()
         if ckpt is None:
-            if initial_schema is None:
-                raise ValueError("initial_schema required for a fresh engine")
-            self.schema = initial_schema
+            if not tables:
+                raise ValueError("initial_schema or tables required for a fresh engine")
+            self._primary = next(iter(tables))
             self.start_us, self.end_us, self.n_batches = start_us, end_us, n_batches
             self.batch_id = -1
+            self.frontier_us = start_us
             self.tokens: dict[str, TokenState] = {
                 INITIAL_PARTITION_TOKEN: TokenState(
                     INITIAL_PARTITION_TOKEN, [], start_us, READY, None
                 )
             }
-            self.table = LakeTable.create(
-                spark,
-                table_root,
-                initial_schema.spark_struct(),
-                initial_schema.key_columns,
-                n_buckets=n_buckets,
-                initial_df=base_df,
-                overwrite=False,
-            )
+            self.tables: dict[str, TableState] = {}
+            for name, (schema, bdf) in tables.items():
+                self.tables[name] = TableState(
+                    schema,
+                    LakeTable.create(
+                        spark,
+                        self._table_path(name),
+                        schema.spark_struct(),
+                        schema.key_columns,
+                        n_buckets=n_buckets,
+                        initial_df=bdf,
+                        overwrite=False,
+                    ),
+                )
             self.watermark_us = start_us
-            self._checkpoint(self.table.current_snapshot_id())
+            self._checkpoint(self._snapshot_ids())
         else:
-            self.schema = TableSchema.from_column_types_json("repos", ckpt["schema_cols"])
             self.start_us, self.end_us = ckpt["start_us"], ckpt["end_us"]
             self.n_batches = ckpt["n_batches"]
             self.batch_id = ckpt["batch_id"]
+            self.frontier_us = ckpt["frontier_us"]
             self.tokens = {
                 t: TokenState(t, s["parents"], s["start_us"], s["state"], s["offset_us"])
                 for t, s in ckpt["tokens"].items()
             }
-            self.table = LakeTable(spark, table_root)
-            # exactly-once resume: discard any snapshot not covered by the
-            # checkpoint (crash between data commit and state commit)
-            if self.table.current_snapshot_id() != ckpt["snapshot_id"]:
-                self.table.rollback(ckpt["snapshot_id"])
+            self._primary = next(iter(ckpt["tables"]))
+            self.tables = {}
+            for name, ts in ckpt["tables"].items():
+                lake = LakeTable(spark, self._table_path(name))
+                # exactly-once resume: discard any snapshot not covered by
+                # the checkpoint (crash between data and state commits)
+                if lake.current_snapshot_id() != ts["snapshot_id"]:
+                    lake.rollback(ts["snapshot_id"])
+                self.tables[name] = TableState(
+                    TableSchema.from_column_types_json(name, ts["schema_cols"]), lake
+                )
             self.watermark_us = ckpt["watermark_us"]
         self.metrics_path = os.path.join(checkpoint_dir, "metrics.jsonl")
 
+    # ------------------------------------------------------------- layout
+    def _table_path(self, name: str) -> str:
+        # the primary (first-configured) table keeps the legacy flat layout
+        # (the table IS table_root); additional tables nest under it
+        return (
+            self.table_root
+            if name == self._primary
+            else os.path.join(self.table_root, f"table={name}")
+        )
+
     # ------------------------------------------------------------- ckpt
+    def _snapshot_ids(self) -> dict[str, int]:
+        return {n: st.table.current_snapshot_id() for n, st in self.tables.items()}
+
     def _ckpt_path(self, batch_id: int) -> str:
         return os.path.join(self.checkpoint_dir, f"ckpt-{batch_id + 1:06d}.json")
 
@@ -181,15 +237,21 @@ class CdcReplayEngine:
         with open(os.path.join(self.checkpoint_dir, name)) as f:
             return json.load(f)
 
-    def _checkpoint(self, snapshot_id: int) -> None:
+    def _checkpoint(self, snapshot_ids: dict[str, int]) -> None:
         state = {
             "batch_id": self.batch_id,
             "start_us": self.start_us,
             "end_us": self.end_us,
             "n_batches": self.n_batches,
-            "snapshot_id": snapshot_id,
+            "frontier_us": self.frontier_us,
             "watermark_us": self.watermark_us,
-            "schema_cols": self.schema.column_types_json(),
+            "tables": {
+                n: {
+                    "schema_cols": st.schema.column_types_json(),
+                    "snapshot_id": snapshot_ids[n],
+                }
+                for n, st in self.tables.items()
+            },
             "tokens": {
                 t: {
                     "parents": s.parents,
@@ -217,6 +279,12 @@ class CdcReplayEngine:
             self.start_us + span * (i + 1) // self.n_batches for i in range(self.n_batches)
         ]
 
+    def _next_boundary(self) -> int:
+        for b in self._boundaries():
+            if b > self.frontier_us:
+                return b
+        return self.end_us
+
     def _gate(self) -> list[str]:
         """O1: CREATED -> READY when every parent is FINISHED (or unknown =
         GC'd, 'no parent exists anymore')."""
@@ -227,9 +295,25 @@ class CdcReplayEngine:
                 s.state = READY
         return [t for t, s in self.tokens.items() if s.state == READY]
 
+    def _probe_count(self, active: list[str], batch_end_us: int) -> int:
+        """Cheap row-count probe of the would-be batch window (row-group
+        pruned; reads no mod payloads)."""
+        return self._active_scan(active, batch_end_us).count()
+
+    def _size_batch(self, active: list[str], target_end_us: int) -> int:
+        """K3 batch sizing: bisect the window until the event count fits
+        max_events_per_batch (or the window is 1us wide). Keeps the fold
+        shuffle bounded when the same n_batches faces 100x the input."""
+        if self.max_events_per_batch is None or not active:
+            return target_end_us
+        lo = self.frontier_us
+        hi = target_end_us
+        while hi - lo > 1 and self._probe_count(active, hi) > self.max_events_per_batch:
+            hi = lo + (hi - lo) // 2
+        return hi
+
     # -------------------------------------------------------------- run
     def run(self, max_batches: int | None = None) -> dict:
-        bounds = self._boundaries()
         done = 0
         totals = {"events": 0, "mods": 0, "wall_s": 0.0}
 
@@ -241,10 +325,11 @@ class CdcReplayEngine:
             totals["wall_s"] += m["wall_s"]
             done += 1
 
-        while self.batch_id + 1 < self.n_batches:
+        while self.frontier_us < self.end_us:
             if max_batches is not None and done >= max_batches:
                 break
-            step(bounds[self.batch_id + 1])
+            active = self._gate()
+            step(self._size_batch(active, self._next_boundary()))
 
         # Drain: a child gated open by a parent finishing in the LAST
         # scheduled batch still has to stream its window (the reference
@@ -253,7 +338,7 @@ class CdcReplayEngine:
         # (offset, end_us] for newly-READY tokens; terminates when no
         # READY token has unscanned range (O14 end-time detection).
         while max_batches is None or done < max_batches:
-            if self.batch_id + 1 < self.n_batches:
+            if self.frontier_us < self.end_us:
                 break  # stopped early by max_batches; resume continues later
             self._gate()
             pending = [
@@ -313,6 +398,23 @@ class CdcReplayEngine:
         ev = ev.join(F.broadcast(offsets), "partition_token")
         return ev.where(F.unix_micros("commit_ts") > F.col("_offset_us"))
 
+    def _data_scan(self, scan: DataFrame) -> DataFrame:
+        """D10: include/exclude table routing applied before dispatch
+        (config/SpannerTableFilter.java:23-38)."""
+        return table_filter(
+            scan, include_regex=self.table_include, exclude_regex=self.table_exclude
+        )
+
+    def _table_allowed(self, name: str) -> bool:
+        """Driver-side mirror of the D10 regex filter (include wins)."""
+        import re
+
+        if self.table_include:
+            return re.search(self.table_include, name) is not None
+        if self.table_exclude:
+            return re.search(self.table_exclude, name) is None
+        return True
+
     def _run_batch(self, batch_id: int, batch_end_us: int) -> dict:
         t0 = time.monotonic()
         timings: dict[str, float] = {}
@@ -324,7 +426,7 @@ class CdcReplayEngine:
         lineage = []
         new_children: dict[str, list[str]] = {}
         finished: list[str] = []
-        snapshot_id = self.table.current_snapshot_id()
+        snapshot_ids = self._snapshot_ids()
 
         if scan is not None:
             # deliberately NOT persisted: the control pass and the
@@ -335,7 +437,7 @@ class CdcReplayEngine:
             # --- control + schema pass: ONE small aggregate job. Control
             # rows drive heartbeats / end markers / child registration;
             # data rows contribute only their count and distinct
-            # column_types (dictionary-encoded -> cheap to read). ---
+            # (table, column_types) pairs (dictionary-encoded -> cheap). ---
             is_data = F.col("record_type") == DATA_CHANGE
             ctrl_df = (
                 scan.groupBy("partition_token")
@@ -345,7 +447,15 @@ class CdcReplayEngine:
                     F.max(F.unix_micros("commit_ts")).alias("max_ts_us"),
                     F.sum((F.col("record_type") == HEARTBEAT).cast("long")).alias("n_hb"),
                     F.max((F.col("record_type") == PARTITION_END).cast("boolean")).alias("ended"),
-                    F.collect_set(F.when(is_data, F.col("column_types"))).alias("schemas"),
+                    F.collect_set(
+                        F.when(
+                            is_data,
+                            F.struct(
+                                F.col("table_name").alias("tbl"),
+                                F.col("column_types").alias("cols"),
+                            ),
+                        )
+                    ).alias("schemas"),
                     F.collect_list(
                         F.when(
                             F.col("record_type") == CHILD_PARTITIONS,
@@ -357,49 +467,110 @@ class CdcReplayEngine:
                     ).alias("children"),
                 )
             )
-            # OPTIMISTIC overlap: the control job and the decode+merge job
-            # run as concurrent Spark jobs (two driver threads; the
-            # scheduler interleaves their tasks). The merge decodes with
-            # the CURRENT schema; if the control pass then reveals new
-            # column_types, the optimistic snapshot is rolled back and the
-            # batch re-merged with the evolved schema — exactly the
-            # reference's cache-invalidate-and-retry
-            # (db/metadata/SchemaRegistry.java:78-86), paid only on the
-            # rare schema-change batch.
+            # OPTIMISTIC overlap: the control job and the per-table
+            # decode+merge jobs run as concurrent Spark jobs (driver
+            # threads; the scheduler interleaves their tasks). Each merge
+            # decodes with the table's CURRENT schema; if the control pass
+            # then reveals new column_types for a table, that table's
+            # optimistic snapshot is rolled back and re-merged with the
+            # evolved schema — exactly the reference's
+            # cache-invalidate-and-retry (db/metadata/SchemaRegistry.java:
+            # 78-86), paid only on the rare schema-change batch.
             from concurrent.futures import ThreadPoolExecutor
 
-            prev_sid = snapshot_id
-            schema_used = self.schema
-            with ThreadPoolExecutor(max_workers=1) as ex:
+            data_scan = self._data_scan(scan)
+            cached = None
+            if len(self.tables) > 1:
+                # one physical scan for N tables: persist the slim decode
+                # projection (bounded by max_events_per_batch) instead of
+                # re-reading the log once per table — table_name row-group
+                # stats can't prune (tables interleave within a token file)
+                cached = data_scan.where(
+                    F.col("record_type") == DATA_CHANGE
+                ).select(
+                    "partition_token",
+                    "commit_ts",
+                    "record_sequence",
+                    "server_txn_id",
+                    "table_name",
+                    "mod_type",
+                    "value_capture_type",
+                    "column_types",
+                    "mods",
+                ).persist()
+                data_scan = cached
+            prev_sids = dict(snapshot_ids)
+            schemas_used = {n: st.schema for n, st in self.tables.items()}
+            attempts: dict[str, tuple] = {}
+            with ThreadPoolExecutor(max_workers=1 + len(self.tables)) as ex:
                 ctrl_future = ex.submit(ctrl_df.collect)
-                opt_sid, opt_obs, per_token = self._merge_attempt(
-                    scan, schema_used, batch_id, active, attempt=0
-                )
+                merge_futures = {
+                    n: ex.submit(
+                        self._merge_attempt,
+                        data_scan.where(F.col("table_name") == n),
+                        n,
+                        schemas_used[n],
+                        batch_id,
+                        active,
+                        0,
+                    )
+                    for n in self.tables
+                    if self._table_allowed(n)
+                }
+                for n, fut in merge_futures.items():
+                    attempts[n] = fut.result()
                 ctrl = ctrl_future.result()
             timings["overlap_s"] = round(time.monotonic() - t_stage, 3)
 
-            any_data = any(r["n_data"] for r in ctrl)
-            observed = sorted({s for r in ctrl for s in r["schemas"] if s})
-            for s_json in observed:
-                incoming = TableSchema.from_column_types_json(self.schema.table, s_json)
-                self.schema = merge_schemas(self.schema, incoming)
+            # merge observed schemas per table (additive, widening)
+            observed: dict[str, set] = {}
+            for r in ctrl:
+                for s in r["schemas"]:
+                    if (
+                        s
+                        and s["tbl"] in self.tables
+                        and s["cols"]
+                        and self._table_allowed(s["tbl"])
+                    ):
+                        observed.setdefault(s["tbl"], set()).add(s["cols"])
+            for name, col_jsons in sorted(observed.items()):
+                st = self.tables[name]
+                for s_json in sorted(col_jsons):
+                    incoming = TableSchema.from_column_types_json(name, s_json)
+                    st.schema = merge_schemas(st.schema, incoming)
 
-            if not any_data:
-                # optimistic merge ran on an empty data slice: discard the
-                # empty snapshot (pointer flip; orphan files are inert)
-                if opt_sid != prev_sid:
-                    self.table.rollback(prev_sid)
-                opt_sid, opt_obs = prev_sid, None
-            elif self.schema.column_types_json() != schema_used.column_types_json():
-                # schema evolved mid-batch: invalidate and retry with the
-                # merged schema so the new columns are decoded
-                self.table.rollback(prev_sid)
-                t_retry = time.monotonic()
-                opt_sid, opt_obs, per_token = self._merge_attempt(
-                    scan, self.schema, batch_id, active, attempt=1
-                )
-                timings["schema_retry_s"] = round(time.monotonic() - t_retry, 3)
-            snapshot_id = opt_sid
+            # resolve each table's optimistic attempt
+            tables_with_data = set(observed)
+            for name, st in self.tables.items():
+                if name not in attempts:  # filtered out by D10: untouched
+                    continue
+                opt_sid, opt_obs, per_token = attempts[name]
+                if name not in tables_with_data:
+                    # optimistic merge ran on an empty slice: discard the
+                    # empty snapshot (pointer flip; orphan files are inert)
+                    if opt_sid != prev_sids[name]:
+                        st.table.rollback(prev_sids[name])
+                    attempts[name] = (prev_sids[name], None, per_token)
+                elif (
+                    st.schema.column_types_json()
+                    != schemas_used[name].column_types_json()
+                ):
+                    # schema evolved mid-batch: invalidate and retry with
+                    # the merged schema so the new columns are decoded
+                    st.table.rollback(prev_sids[name])
+                    t_retry = time.monotonic()
+                    attempts[name] = self._merge_attempt(
+                        data_scan.where(F.col("table_name") == name),
+                        name,
+                        st.schema,
+                        batch_id,
+                        active,
+                        attempt=1,
+                    )
+                    timings["schema_retry_s"] = round(time.monotonic() - t_retry, 3)
+                snapshot_ids[name] = attempts[name][0]
+            if cached is not None:
+                cached.unpersist()
 
             ctrl_by_token = {}
             for r in ctrl:
@@ -417,29 +588,35 @@ class CdcReplayEngine:
                                 c["start_us"],
                             )
 
-            # --- harvest the data-pass observation (per-token lineage
-            # rode along with the merge job; no extra Spark job) ---
+            # --- harvest the data-pass observations (per-token lineage
+            # rode along with the merge jobs; no extra Spark job) ---
             data_counts: dict[str, int] = {}
             data_max_ts: dict[str, int] = {}
-            if any_data and opt_obs is not None:
+            for name in attempts:
+                opt_sid, opt_obs, per_token = attempts[name]
+                if opt_obs is None:
+                    continue
                 got = opt_obs.get
-                mods = got["_n_rec_total"]
+                mods += got["_n_rec_total"]
                 for i, tok in enumerate(per_token):
                     if got[f"_n_{i}"]:
-                        data_counts[tok] = got[f"_n_{i}"]
-                        data_max_ts[tok] = got[f"_ts_{i}"]
-                # MOR compaction: bound read-time delta depth; amortizes
-                # the rewrite across compact_every batches (O13-adjacent
-                # state bounding for the data files themselves)
-                if (
-                    self.sink_mode == "mor"
-                    and self.table.delta_depth() >= self.compact_every
-                ):
-                    t_stage = time.monotonic()
-                    # schema=None: compaction keeps the snapshot schema
-                    # (which already includes the __cdc_ts lineage column)
-                    snapshot_id = self.table.compact(summary={"batch_id": batch_id})
-                    timings["compact_s"] = round(time.monotonic() - t_stage, 3)
+                        data_counts[tok] = data_counts.get(tok, 0) + got[f"_n_{i}"]
+                        data_max_ts[tok] = max(
+                            data_max_ts.get(tok, 0), got[f"_ts_{i}"] or 0
+                        )
+            # MOR compaction: bound read-time delta depth; amortizes the
+            # rewrite across compact_every batches (O13-adjacent state
+            # bounding for the data files themselves)
+            if self.sink_mode == "mor":
+                for name, st in self.tables.items():
+                    if st.table.delta_depth() >= self.compact_every:
+                        t_stage = time.monotonic()
+                        # schema=None: compaction keeps the snapshot schema
+                        # (already includes the __cdc_ts lineage column)
+                        snapshot_ids[name] = st.table.compact(
+                            summary={"batch_id": batch_id}
+                        )
+                        timings["compact_s"] = round(time.monotonic() - t_stage, 3)
 
             for tok in active:
                 r = ctrl_by_token.get(tok)
@@ -501,9 +678,11 @@ class CdcReplayEngine:
             del self.tokens[t]
 
         self.batch_id = batch_id
-        self._checkpoint(snapshot_id)
+        self.frontier_us = max(self.frontier_us, batch_end_us)
+        self._checkpoint(snapshot_ids)
 
         wall = time.monotonic() - t0
+        primary = next(iter(self.tables), None)
         metric = {
             "batch_id": batch_id,
             "batch_end_us": batch_end_us,
@@ -514,7 +693,8 @@ class CdcReplayEngine:
             "new_tokens": sorted(new_children),
             "watermark_us": self.watermark_us,
             "stuck_tokens": stuck,
-            "snapshot_id": snapshot_id,
+            "snapshot_id": snapshot_ids.get(primary),
+            "snapshot_ids": snapshot_ids,
             "wall_s": round(wall, 4),
             "events_per_sec": round(events / wall, 2) if wall > 0 else 0.0,
             "timings": timings,
@@ -527,20 +707,23 @@ class CdcReplayEngine:
     def _merge_attempt(
         self,
         scan: DataFrame,
+        name: str,
         schema: TableSchema,
         batch_id: int,
         active: list[str],
         attempt: int,
     ):
-        """decode -> fold -> MERGE with per-token lineage Observation.
+        """decode -> fold -> MERGE one table with per-token lineage
+        Observation.
 
         Returns (snapshot_id, observation, per_token_list). Commits a
-        snapshot; the caller may roll it back (schema retry / empty batch).
+        snapshot; the caller may roll it back (schema retry / empty slice).
         """
         from pyspark.sql import Observation
 
+        table = self.tables[name].table
         decoded = decode_mods(scan, schema, use_pandas_udf=self.use_pandas_udf_decode)
-        obs = Observation(f"batch-{batch_id}-a{attempt}")
+        obs = Observation(f"batch-{batch_id}-{name}-a{attempt}")
         is_rec = F.col("mod_number") == 0  # 1 per record, not per mod
         obs_aggs = [
             F.count(F.lit(1)).alias("_n_mods_total"),
@@ -566,13 +749,13 @@ class CdcReplayEngine:
                 decoded,
                 schema.key_columns,
                 schema.value_columns,
-                n_buckets=self.table.n_buckets(),
+                n_buckets=table.n_buckets(),
             )
         sid, _ = merge_into(
-            self.table,
+            table,
             folded,
             target_schema=schema.spark_struct(),
-            summary={"batch_id": batch_id, "attempt": attempt},
+            summary={"batch_id": batch_id, "attempt": attempt, "table": name},
             mode=self.sink_mode,
             # statistically every bucket is hit by a sizable batch — skip
             # the probe job (empty buckets add no files)
@@ -580,13 +763,19 @@ class CdcReplayEngine:
         )
         return sid, obs, per_token
 
-    # ---------------------------------------------------------- schema
-    def _sink_schema(self) -> T.StructType:
-        return self.schema.spark_struct()
-
     # ------------------------------------------------------------ views
-    def final_state(self) -> DataFrame:
-        return self.table.read().drop(CDC_TS_COL)
+    @property
+    def table(self) -> LakeTable:
+        """Primary (first-configured) table — single-table compatibility."""
+        return self.tables[next(iter(self.tables))].table
+
+    @property
+    def schema(self) -> TableSchema:
+        return self.tables[next(iter(self.tables))].schema
+
+    def final_state(self, table: str | None = None) -> DataFrame:
+        name = table or next(iter(self.tables))
+        return self.tables[name].table.read().drop(CDC_TS_COL)
 
     def metrics(self) -> list[dict]:
         if not os.path.exists(self.metrics_path):

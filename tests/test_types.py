@@ -88,11 +88,11 @@ def test_connect_type_mapping():
 
 
 def test_datatypes_golden(spark):
+    # decode_mods applies the Connect casts itself (BYTES -> binary) when
+    # the schema needs them; vals is already the physical sink shape
     df = spark.createDataFrame([_event_row()], EVENT_LOG_SCHEMA)
     decoded = decode_mods(df, TYPES_PROBE)
-    row = decoded.select(
-        "op", "id", apply_spanner_casts(F.col("vals"), TYPES_PROBE).alias("v")
-    ).collect()[0]
+    row = decoded.select("op", "id", F.col("vals").alias("v")).collect()[0]
     v = row["v"]
     assert row["op"] == "c" and row["id"] == 7
     assert v["boolcol"] is True
