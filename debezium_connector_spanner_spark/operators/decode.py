@@ -66,6 +66,20 @@ def explode_mods(events: DataFrame) -> DataFrame:
         if "record_type" in events.columns
         else events
     )
+    # txn metadata columns ride along for the envelope path; Catalyst
+    # column-prunes them out of the MERGE hot path (fold never reads them)
+    passthrough = [
+        c
+        for c in (
+            "table_name",
+            "is_last_in_txn_in_partition",
+            "number_of_records_in_transaction",
+            "number_of_partitions_in_transaction",
+            "transaction_tag",
+            "is_system_transaction",
+        )
+        if c in data.columns
+    ]
     return data.select(
         "partition_token",
         "commit_ts",
@@ -74,6 +88,7 @@ def explode_mods(events: DataFrame) -> DataFrame:
         "mod_type",
         "value_capture_type",
         "column_types",
+        *passthrough,
         F.posexplode("mods").alias("mod_number", "mod"),
     )
 
@@ -159,12 +174,26 @@ def decode_mods(
         ]
     )
 
+    passthrough = [
+        c
+        for c in (
+            "table_name",
+            "is_last_in_txn_in_partition",
+            "number_of_records_in_transaction",
+            "number_of_partitions_in_transaction",
+            "transaction_tag",
+            "is_system_transaction",
+            "value_capture_type",
+        )
+        if c in m.columns
+    ]
     out = m.select(
         "partition_token",
         "commit_ts",
         "record_sequence",
         "server_txn_id",
         "mod_number",
+        *passthrough,
         seq_col().alias("seq"),
         op.alias("op"),
         keys.alias("keys"),

@@ -200,13 +200,19 @@ def _exploded_sql(fx: str) -> str:
     return f"""
   raw AS (
     SELECT partition_token, epoch_us(commit_ts) AS ts, record_sequence AS rs,
-           server_txn_id, mods, mod_type, value_capture_type
+           server_txn_id, mods, mod_type, value_capture_type,
+           is_last_in_txn_in_partition, number_of_records_in_transaction,
+           number_of_partitions_in_transaction, transaction_tag,
+           is_system_transaction
     FROM read_parquet('{fx}/events/*/*.parquet', hive_partitioning=1)
     WHERE record_type = 'data_change' AND table_name = 'repos'
   ),
   exploded AS (
     SELECT DISTINCT partition_token, ts, rs, server_txn_id,
            mod_type, value_capture_type,
+           is_last_in_txn_in_partition, number_of_records_in_transaction,
+           number_of_partitions_in_transaction, transaction_tag,
+           is_system_transaction,
            mn - 1 AS mod_number,
            mods[mn].keys AS keys, mods[mn].new_values AS new_values,
            mods[mn].old_values AS old_values
@@ -217,6 +223,9 @@ def _exploded_sql(fx: str) -> str:
            json_extract_string(keys, '$.path') AS path,
            ts, rs, mod_number, partition_token, server_txn_id,
            mod_type, value_capture_type,
+           is_last_in_txn_in_partition, number_of_records_in_transaction,
+           number_of_partitions_in_transaction, transaction_tag,
+           is_system_transaction,
            new_values, old_values,
            {_seq_sql()} AS k
     FROM exploded
@@ -523,6 +532,13 @@ def q_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source.record_sequence").alias("record_sequence"),
         F.col("source.mod_number").cast("long").alias("mod_number"),
         F.col("source.partition_token").alias("partition_token"),
+        F.col("source.server_transaction_id").alias("server_transaction_id"),
+        F.col("source.value_capture_type").alias("value_capture_type"),
+        F.col("source.number_records_in_transaction").alias("n_rec_in_txn"),
+        F.col("source.number_of_partitions_in_transaction").alias("n_part_in_txn"),
+        F.col("source.transaction_tag").alias("transaction_tag"),
+        F.col("source.system_transaction").alias("system_transaction"),
+        F.col("source.is_last_record_in_transaction_in_partition").alias("is_last_in_txn"),
         F.col("before.commit").alias("before_commit"),
         F.col("after.commit").alias("after_commit"),
         F.col("before").isNotNull().alias("has_before"),
@@ -536,6 +552,13 @@ WITH {_exploded_sql(fx)}
 SELECT
   {_SQL_OP} AS op,
   repo, path, ts AS ts_us, rs AS record_sequence, mod_number, partition_token,
+  server_txn_id AS server_transaction_id,
+  value_capture_type,
+  number_of_records_in_transaction AS n_rec_in_txn,
+  number_of_partitions_in_transaction AS n_part_in_txn,
+  transaction_tag,
+  is_system_transaction AS system_transaction,
+  is_last_in_txn_in_partition AS is_last_in_txn,
   json_extract_string(old_values, '$.commit') AS before_commit,
   json_extract_string(new_values, '$.commit') AS after_commit,
   old_values IS NOT NULL AS has_before,
@@ -544,7 +567,27 @@ FROM keyed
 """
 
 
+def q_cdc_envelope_stamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10(a): envelope stream stamped with the ENGINE's per-batch low
+    watermark (task/LowWatermarkStampPublisher.java semantics). The stamp
+    depends on engine-internal DAG/offset state -> rows-only driver check;
+    the invariants (stamp <= commit_ts, monotone in emission order) are
+    pytest-asserted (tests/test_envelope.py, mirrors
+    LowWatermarkRecordIT.java:49-88)."""
+    eng = replayed_engine(spark, sf_dir)
+    env = eng.envelope_stream("repos")
+    return env.select(
+        "op",
+        F.col("key.repo").alias("repo"),
+        F.col("key.path").alias("path"),
+        "ts_us",
+        F.col("source.low_watermark_us").alias("low_watermark_us"),
+        F.col("source.read_at_timestamp_us").alias("read_at_timestamp_us"),
+    )
+
+
 CDC_QUERIES["cdc_envelope"] = q_cdc_envelope
+CDC_QUERIES["cdc_envelope_stamped"] = q_cdc_envelope_stamped
 
 
 _orig_cdc_oracles = cdc_oracles

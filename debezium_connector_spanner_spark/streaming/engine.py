@@ -777,6 +777,49 @@ class CdcReplayEngine:
         name = table or next(iter(self.tables))
         return self.tables[name].table.read().drop(CDC_TS_COL)
 
+    def envelope_stream(self, table: str | None = None) -> DataFrame:
+        """O10(a): the Debezium-envelope change stream with each record
+        stamped with the engine's low watermark AS OF ITS BATCH's emission
+        (the watermark computed at the END of the PREVIOUS batch, i.e. the
+        value the stamp publisher held while this batch's records were
+        emitted — task/LowWatermarkStampPublisher.java:23-126). Guarantees
+        low_watermark_us <= commit_ts per record and monotone stamps in
+        emission order (LowWatermarkRecordIT.java:49-88 invariants).
+
+        Replays nothing: derives (batch window -> stamp) from the metrics
+        journal and broadcast-joins it onto the decoded stream.
+        """
+        name = table or next(iter(self.tables))
+        windows = []
+        prev_end, prev_wm = self.start_us, self.start_us
+        for m in self.metrics():
+            if m["batch_end_us"] > prev_end:
+                windows.append((prev_end, m["batch_end_us"], prev_wm))
+            prev_end = max(prev_end, m["batch_end_us"])
+            prev_wm = m["watermark_us"]
+        if not windows:
+            windows = [(self.start_us, self.end_us, self.start_us)]
+        wdf = self.spark.createDataFrame(
+            windows, "w_lo long, w_hi long, w_stamp long"
+        )
+        ev = self._events_df().where(F.col("table_name") == name)
+        decoded = decode_mods(
+            ev, self.tables[name].schema, use_pandas_udf=self.use_pandas_udf_decode,
+            include_old=True,
+        )
+        ts = F.unix_micros("commit_ts")
+        joined = decoded.join(
+            F.broadcast(wdf), (ts > F.col("w_lo")) & (ts <= F.col("w_hi")), "left"
+        )
+        from debezium_connector_spanner_spark.operators.envelope import to_envelope
+
+        return to_envelope(
+            joined,
+            table_name=name,
+            low_watermark_us=F.col("w_stamp"),
+            read_at_timestamp_us=F.col("w_hi"),
+        ).drop("w_lo", "w_hi", "w_stamp")
+
     def metrics(self) -> list[dict]:
         if not os.path.exists(self.metrics_path):
             return []
