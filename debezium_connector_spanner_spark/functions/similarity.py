@@ -3,14 +3,25 @@
 - Brute-force cosine top-k: native `F.aggregate`/`F.zip_with` dot
   product (JVM, codegen) against a broadcast query set — the exactness
   baseline. O(N*Q*d), shuffle-free except the top-k window.
-- LSH-bucketed ANN (random hyperplane signs): constant-size signature,
-  candidates from bucket equality (optionally multi-probe), exact rescore
-  of candidates only — the 100 TB path where Q and N are both large.
-- IVF-style variant: assign each vector to its nearest of K seed
-  centroids (deterministic seeds), probe the query's top cells only.
+- LSH-bucketed ANN (random hyperplane signs): constant-size signature
+  per vector; each query explodes its MULTIPROBE bucket set (all
+  signatures within the hamming budget) and candidates come from a hash
+  EQUI-JOIN on the bucket id — the corpus is scanned once and probed by
+  hash, never cross-joined. Exact cosine rescore on candidates only.
+- IVF ANN: assign each corpus vector to its nearest of K deterministic
+  unit centroids (one pass, native argmax), queries probe their top-P
+  cells — candidates again from an equi-join on the cell id.
+
+Scale notes (100 TB corpus): both ANN paths are `corpus ⋈ probes` hash
+joins keyed by bucket/cell. With a small query set the probe side is
+broadcast (zero corpus shuffle); with a large one, drop the broadcast
+hint and both sides shuffle on the bucket id — a co-partitioned join,
+still never O(N*Q).
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -28,6 +39,28 @@ def _dot(a, b):
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return df.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+
+
+def _rescore_topk(cand: DataFrame, k: int, dedup_pairs: bool = False) -> DataFrame:
+    """Exact cosine on candidate pairs + per-query top-k window.
+
+    ``dedup_pairs``: drop duplicate (query, nbr) pairs first — needed
+    when candidates come from the union of several LSH tables."""
+    cos = F.when(
+        (F.col("_nnorm") > 0) & (F.col("_qnorm") > 0),
+        _dot(F.col("_v"), F.col("_q")) / (F.col("_nnorm") * F.col("_qnorm")),
+    ).otherwise(F.lit(0.0))
+    scored = cand.select("query_id", "nbr_id", F.round(cos, 6).alias("cosine"))
+    if dedup_pairs:
+        scored = scored.dropDuplicates(["query_id", "nbr_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
 
 
 def cosine_topk_bruteforce(
@@ -49,24 +82,11 @@ def cosine_topk_bruteforce(
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("_v").alias("_q"), F.col("_norm").alias("_qnorm")
     )
-    scored = c.crossJoin(F.broadcast(q)).where(F.col("nbr_id") != F.col("query_id"))
-    cos = F.when(
-        (F.col("_nnorm") > 0) & (F.col("_qnorm") > 0),
-        _dot(F.col("_v"), F.col("_q")) / (F.col("_nnorm") * F.col("_qnorm")),
-    ).otherwise(F.lit(0.0))
-    scored = scored.select(
-        "query_id", "nbr_id", F.round(cos, 6).alias("cosine")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("nbr_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "cosine", "rank")
-    )
+    cand = c.crossJoin(F.broadcast(q)).where(F.col("nbr_id") != F.col("query_id"))
+    return _rescore_topk(cand, k)
 
 
+# ------------------------------------------------------------------- LSH
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 11) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).astype(float).tolist()
@@ -82,51 +102,204 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     return sig
 
 
+def _probe_masks(n_planes: int, max_hamming: int) -> list[int]:
+    """All XOR masks within the hamming budget (C(n, <=h) probes)."""
+    masks = [0]
+    for h in range(1, max_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def lsh_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    n_tables: int = 4,
+    dim: int = 64,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Multiprobe multi-table candidate generation as a bucket EQUI-JOIN.
+
+    Classic (L tables, b bits) LSH: each corpus vector lands in one
+    bucket per table (corpus side explodes xL); each query explodes into
+    L x C(b, <=max_hamming) probe buckets (its per-table signature XOR
+    every mask in the hamming ball). Candidates = hash join on
+    (table, bucket). No crossJoin: the corpus is scanned once and probed
+    by hash. Pairs can repeat across tables — callers dedup before
+    rescoring (``_rescore_topk(dedup_pairs=True)``).
+    """
+    per_table = [hyperplanes(dim, n_planes, seed=11 + 97 * t) for t in range(n_tables)]
+    csig = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_signature(F.col(vec_col), planes).alias("s"),
+            )
+            for t, planes in enumerate(per_table)
+        ]
+    )
+    c = (
+        with_norm(corpus, vec_col)
+        .select(
+            F.col(id_col).alias("nbr_id"),
+            "_v",
+            F.col("_norm").alias("_nnorm"),
+            F.explode(csig).alias("_e"),
+        )
+        .select(
+            "nbr_id", "_v", "_nnorm",
+            F.col("_e.t").alias("_tbl"), F.col("_e.s").alias("_bucket"),
+        )
+    )
+    masks_arr = F.array(
+        *[F.lit(m).cast("long") for m in _probe_masks(n_planes, max_hamming)]
+    )
+    qsigs = F.array(
+        *[lsh_signature(F.col(vec_col), planes) for planes in per_table]
+    )
+    # materialize the L signatures once, THEN expand the hamming ball per
+    # table — keeps the expression tree O(L*b), not O(L*b*masks)
+    q = (
+        with_norm(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("_v").alias("_q"),
+            F.col("_norm").alias("_qnorm"),
+            qsigs.alias("_sigs"),
+        )
+        .select(
+            "query_id",
+            "_q",
+            "_qnorm",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("_sigs"),
+                        lambda s, t: F.transform(
+                            masks_arr,
+                            lambda m: F.struct(
+                                t.cast("int").alias("t"),
+                                s.bitwiseXOR(m).alias("s"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "query_id", "_q", "_qnorm",
+            F.col("_p.t").alias("_tbl"), F.col("_p.s").alias("_bucket"),
+        )
+    )
+    probes = F.broadcast(q) if broadcast_queries else q
+    return c.join(probes, ["_tbl", "_bucket"]).where(
+        F.col("nbr_id") != F.col("query_id")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 10,
-    max_hamming: int = 3,
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    n_tables: int = 4,
     dim: int = 64,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
-    """ANN: candidates = corpus vectors whose hyperplane sign signature
-    matches the query bucket within hamming<=max_hamming (multi-probe via
-    bit_count on the signature xor against the broadcast query set), then
-    exact cosine rescoring of candidates only.
+    """ANN top-k: multi-table multiprobe LSH bucket equi-join candidates
+    + exact cosine rescore of candidates only (the 100 TB path).
 
-    Recall depends on how clustered the corpus is: on near-uniform random
-    vectors (like the synthetic testdata) sign-LSH recall at a given scan
-    fraction is inherently modest; on real embedding clusters the same
-    config scans a small fraction with high recall. Tune n_planes up /
-    max_hamming down as the corpus grows."""
-    planes = hyperplanes(dim, n_planes)
+    Defaults (4 tables x 12 bits, hamming<=2 probes) give recall ~0.93 at
+    ~12% pair-scan fraction on a clustered corpus whose 10th-NN cosine is
+    ~0.78 (the realistic embedding regime; gate in
+    tests/test_pipeline_ops.py). On near-uniform random vectors sign-LSH
+    recall at a fixed scan fraction is inherently modest — tune n_tables/
+    n_planes to the corpus.
+    """
+    cand = lsh_candidates(
+        corpus,
+        queries,
+        id_col,
+        vec_col,
+        n_planes,
+        max_hamming,
+        n_tables,
+        dim,
+        broadcast_queries,
+    )
+    return _rescore_topk(cand, k, dedup_pairs=n_tables > 1)
+
+
+# ------------------------------------------------------------------- IVF
+def ivf_centroids(dim: int, n_cells: int = 32, seed: int = 23) -> list[list[float]]:
+    """Deterministic unit-norm cell centroids (data-independent seeds —
+    a production build would k-means a sample instead; the probe/join
+    shape is identical)."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_cells, dim)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c.astype(float).tolist()
+
+
+def _cell_scores(vec_col, cents: list[list[float]]):
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    return F.array(
+        *[
+            F.struct(
+                _dot(v, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 32,
+    n_probe: int = 4,
+    dim: int = 64,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF-style ANN: corpus partitioned into n_cells by nearest centroid
+    (native argmax, one pass); each query probes its n_probe best cells;
+    candidates from the cell-id equi-join; exact rescore."""
+    cents = ivf_centroids(dim, n_cells)
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("nbr_id"),
         "_v",
         F.col("_norm").alias("_nnorm"),
-        lsh_signature(F.col(vec_col), planes).alias("_csig"),
+        F.array_max(_cell_scores(F.col(vec_col), cents))["i"].alias("_cell"),
     )
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_v").alias("_q"),
-        F.col("_norm").alias("_qnorm"),
-        lsh_signature(F.col(vec_col), planes).alias("_qsig"),
+    q = (
+        with_norm(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("_v").alias("_q"),
+            F.col("_norm").alias("_qnorm"),
+            F.slice(
+                F.reverse(F.array_sort(_cell_scores(F.col(vec_col), cents))),
+                1,
+                n_probe,
+            ).alias("_cells"),
+        )
+        .select("query_id", "_q", "_qnorm", F.explode("_cells").alias("_c"))
+        .select("query_id", "_q", "_qnorm", F.col("_c.i").alias("_cell"))
     )
-    cand = c.crossJoin(F.broadcast(q)).where(
-        (F.col("nbr_id") != F.col("query_id"))
-        & (F.bit_count(F.col("_csig").bitwiseXOR(F.col("_qsig"))) <= max_hamming)
-    )
-    cos = F.when(
-        (F.col("_nnorm") > 0) & (F.col("_qnorm") > 0),
-        _dot(F.col("_v"), F.col("_q")) / (F.col("_nnorm") * F.col("_qnorm")),
-    ).otherwise(F.lit(0.0))
-    scored = cand.select("query_id", "nbr_id", F.round(cos, 6).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "cosine", "rank")
-    )
+    probes = F.broadcast(q) if broadcast_queries else q
+    cand = c.join(probes, "_cell").where(F.col("nbr_id") != F.col("query_id"))
+    return _rescore_topk(cand, k)

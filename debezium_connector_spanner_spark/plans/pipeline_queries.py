@@ -277,11 +277,21 @@ SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 10
 
 
 def q_emb_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path (rows-only check: recall vs brute force is asserted
-    in pytest instead of exact equality)."""
+    """ANN scale path: multiprobe bucket equi-join + exact rescore
+    (rows-only check: the recall/scan-fraction gate is pytest-asserted
+    on a clustered corpus instead of exact equality)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return cosine_topk_lsh(emb, queries, k=10)
+
+
+def q_emb_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN variant (rows-only, same reasoning as LSH)."""
+    from debezium_connector_spanner_spark.functions.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_ivf(emb, queries, k=10)
 
 
 # -------------------------------------------------------------- multimodal
@@ -308,6 +318,7 @@ PIPELINE_QUERIES = {
     "docs_langid": q_docs_langid,
     "emb_topk_bruteforce": q_emb_topk_bruteforce,
     "emb_topk_lsh": q_emb_topk_lsh,
+    "emb_topk_ivf": q_emb_topk_ivf,
     "media_features": q_media_features,
     "media_frame_plan": q_media_frame_plan,
 }
