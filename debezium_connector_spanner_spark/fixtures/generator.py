@@ -107,6 +107,10 @@ class GeneratorConfig:
     # second change-stream table with every supported type code (multi-
     # table routing + DataTypesIT-style end-to-end fidelity); 0 = disabled
     types_probe_keys: int = 0
+    # mega-hot single key: this many extra UPDATE events on ONE (repo,
+    # path) — the north rule's "hot-key repos" skew shape, used by the
+    # fused-vs-salted fold benchmark (tools/bench_skew.py); 0 = disabled
+    hot_key_events: int = 0
     schema_evolution: bool = False
     evolve_add_at: float = 0.40       # stars INT64 appears
     evolve_widen_at: float = 0.75     # stars -> FLOAT64
@@ -378,6 +382,56 @@ class FixtureBuilder:
         if state is not None:
             self.types_final[key_id] = dict(state)
 
+    def _emit_hot_key(self):
+        """One mega-key receiving cfg.hot_key_events UPDATEs spread over
+        the whole timeline (every partition token that owns its key-hash
+        range sees a slice) — the skew fixture for fold_changes_salted."""
+        cfg = self.cfg
+        repo, path = "org-hot/mega-repo", "src/hot_file.py"
+        key_frac = _h64("kf", cfg.seed, repo, path) / 2**64
+        total_us = cfg.duration_s * 1_000_000
+        n = cfg.hot_key_events
+        state = {
+            "commit": _hex40(cfg.seed, repo, path, "hot-base"),
+            "lang": "python",
+            "content": _content(repo, path, -1, cfg),
+        }
+        self.base_rows.append({"repo": repo, "path": path, **state})
+        step = max(1, (total_us - 2) // n)
+        us = 1
+        for j in range(n):
+            tf = us / total_us
+            changed = "commit" if j % 3 else "content"
+            val = (
+                _hex40(cfg.seed, repo, path, j)
+                if changed == "commit"
+                else _content(repo, path, j, cfg)
+            )
+            new = {changed: val}
+            old = {changed: state[changed]}
+            state[changed] = val
+            self._emit(
+                record_type=DATA_CHANGE,
+                partition_token=owner_token(key_frac, min(tf, 0.999)),
+                commit_ts=us,
+                record_sequence=str(j + 1),
+                server_txn_id=f"hot-{j:09d}",
+                is_last_in_txn_in_partition=True,
+                table_name="repos",
+                column_types=REPOS_SCHEMA_V1.column_types_json(),
+                mods=[self._mod_raw({"repo": repo, "path": path}, new, old)],
+                mod_type="UPDATE",
+                value_capture_type="OLD_AND_NEW_VALUES",
+                number_of_records_in_transaction=1,
+                number_of_partitions_in_transaction=1,
+                transaction_tag="",
+                is_system_transaction=False,
+            )
+            self.stats["data_change"] += 1
+            self.stats["mods"] += 1
+            us += step
+        self.final[(repo, path)] = dict(state)
+
     def _mod_raw(self, keys: dict, new: dict | None, old: dict | None) -> dict:
         return {
             "keys": json.dumps(keys, sort_keys=True),
@@ -472,6 +526,8 @@ class FixtureBuilder:
                 self._emit_key_chain(key_id, repo, path)
         for k in range(self.cfg.types_probe_keys):
             self._emit_types_chain(k)
+        if self.cfg.hot_key_events:
+            self._emit_hot_key()
         self._emit_control()
         # stable global order: (commit_ts, token, record_sequence)
         self.rows.sort(

@@ -132,6 +132,7 @@ class CdcReplayEngine:
         table_include: str | None = None,
         table_exclude: str | None = None,
         max_events_per_batch: int | None = None,
+        stuck_policy: str = "metric",  # 'metric' | 'requery' | 'fail'
     ):
         self.spark = spark
         self.events_path = events_path
@@ -144,11 +145,19 @@ class CdcReplayEngine:
         self.table_include = table_include
         self.table_exclude = table_exclude
         self.max_events_per_batch = max_events_per_batch
-        # O7/O8 stuck-partition detection (PartitionQueryingMonitor.java:33-120,
+        # O7/O8 stuck-partition watchdog (PartitionQueryingMonitor.java:33-120,
         # FinishPartitionWatchDog): an active partition that emits nothing
-        # (no data, no heartbeat) for this many consecutive batches is
-        # flagged in the batch metrics
+        # (no data, no heartbeat) for max_stale_batches consecutive batches
+        # is flagged; the ACTION follows stuck_policy —
+        #   'metric'  record only (default);
+        #   'requery' hold the token's offset so the next batch re-scans
+        #             the same window (the reference's re-query), then
+        #             escalate-advance after 2x the threshold so the run
+        #             stays bounded;
+        #   'fail'    raise after 2x the threshold (the reference's
+        #             watchdog escalation).
         self.max_stale_batches = 3
+        self.stuck_policy = stuck_policy
         self._stale_counts: dict[str, int] = {}
         os.makedirs(checkpoint_dir, exist_ok=True)
 
@@ -651,10 +660,26 @@ class CdcReplayEngine:
                 if n >= self.max_stale_batches:
                     stuck.append(tok)
 
+        # watchdog actions (O7/O8)
+        requeried: list[str] = []
+        if stuck and self.stuck_policy == "fail":
+            over = [t for t in stuck if self._stale_counts[t] >= 2 * self.max_stale_batches]
+            if over:
+                raise RuntimeError(
+                    f"stuck partitions exceeded watchdog threshold: {sorted(over)}"
+                )
+
         # state transitions AFTER the data commit (O6 happens-before)
         for tok, (parents, start_us) in new_children.items():
             self.tokens[tok] = TokenState(tok, parents, start_us, CREATED, None)
         for t in active:
+            if (
+                self.stuck_policy == "requery"
+                and t in stuck
+                and self._stale_counts.get(t, 0) < 2 * self.max_stale_batches
+            ):
+                requeried.append(t)  # hold offset: re-scan the window
+                continue
             self.tokens[t].offset_us = batch_end_us
         for t in finished:
             self.tokens[t].state = FINISHED
@@ -693,6 +718,7 @@ class CdcReplayEngine:
             "new_tokens": sorted(new_children),
             "watermark_us": self.watermark_us,
             "stuck_tokens": stuck,
+            "requeried_tokens": requeried,
             "snapshot_id": snapshot_ids.get(primary),
             "snapshot_ids": snapshot_ids,
             "wall_s": round(wall, 4),

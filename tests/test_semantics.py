@@ -116,6 +116,44 @@ def test_record_sequence_numeric_order(spark):
     assert folded.collect()[0]["commit"] == "new"
 
 
+def test_hot_key_fixture_salted_replay(spark, tmp_root):
+    """Skew shape: one key carrying ~half the events replays to the same
+    final state under the salted fold as the pandas oracle."""
+    from debezium_connector_spanner_spark.fixtures.generator import (
+        EPOCH_MICROS,
+        GeneratorConfig,
+        write_fixture,
+    )
+    from debezium_connector_spanner_spark.fixtures.oracle import fold_final_state
+    from debezium_connector_spanner_spark.streaming.engine import CdcReplayEngine
+    import pandas as pd
+
+    cfg = GeneratorConfig(
+        n_repos=4, paths_per_repo=3, events_per_key_mean=3, hot_key_events=400
+    )
+    fx = os.path.join(tmp_root, "fx")
+    write_fixture(fx, cfg)
+    eng = CdcReplayEngine(
+        spark,
+        fx,
+        os.path.join(tmp_root, "t"),
+        os.path.join(tmp_root, "c"),
+        start_us=EPOCH_MICROS,
+        end_us=EPOCH_MICROS + cfg.duration_s * 1_000_000,
+        n_batches=4,
+        initial_schema=REPOS_SCHEMA_V1,
+        base_df=spark.read.parquet(os.path.join(fx, "base_repos.parquet")),
+        n_buckets=4,
+        skew_mode="salted",
+    )
+    eng.run()
+    got = (
+        eng.final_state().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want = fold_final_state(fx).sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
 def test_mor_fold_out_of_order_batches(spark, tmp_root):
     """Deltas applied out of commit-ts order (older batch at higher rank)
     must not win: fold_ranked orders by (__cdc_ts, rank), not rank."""
