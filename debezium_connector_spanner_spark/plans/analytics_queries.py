@@ -76,8 +76,10 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_e2 = F.round(F.col("l_discount") * 100).cast("long")
+    # no broadcast hint on orders: it's fact-sized at high SF — let AQE
+    # pick broadcast when the filtered side is actually small
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", _us("o_orderdate").alias("o_orderdate_us"))
         .agg(F.sum(price_c * (100 - disc_e2)).alias("revenue_e4"))
