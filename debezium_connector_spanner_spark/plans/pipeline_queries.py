@@ -277,21 +277,149 @@ SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 10
 
 
 def q_emb_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: multiprobe bucket equi-join + exact rescore
-    (rows-only check: the recall/scan-fraction gate is pytest-asserted
-    on a clustered corpus instead of exact equality)."""
+    """ANN scale path: multiprobe bucket equi-join + exact rescore.
+
+    FULLY oracle-checked: the hyperplanes are deterministic constants, so
+    the oracle (sql_emb_topk_lsh) embeds the same planes as SQL literals
+    and replays the identical signature -> probe -> equi-join -> rescore
+    pipeline in DuckDB. The recall/scan-fraction gate is additionally
+    pytest-asserted on a clustered corpus."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return cosine_topk_lsh(emb, queries, k=10)
+    out = cosine_topk_lsh(emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_emb_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell ANN variant (rows-only, same reasoning as LSH)."""
+    """IVF-cell ANN variant — oracle-checked the same way (deterministic
+    centroids embedded as SQL literals in sql_emb_topk_ivf)."""
     from debezium_connector_spanner_spark.functions.similarity import cosine_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return cosine_topk_ivf(emb, queries, k=10)
+    out = cosine_topk_ivf(emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _sql_dlist(vals) -> str:
+    """A DuckDB DOUBLE[] literal."""
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
+
+
+_SQL_RESCORE_TOPK = """
+scored AS (
+  SELECT c.query_id, c.nbr_id,
+    round(
+      CASE WHEN sqrt(list_sum(list_transform(ne.embedding, x -> (x::DOUBLE)*(x::DOUBLE)))) > 0
+            AND sqrt(list_sum(list_transform(qe.embedding, x -> (x::DOUBLE)*(x::DOUBLE)))) > 0
+      THEN list_sum(list_transform(range(len(ne.embedding)),
+                    j -> ne.embedding[j+1]::DOUBLE * qe.embedding[j+1]::DOUBLE))
+           / (sqrt(list_sum(list_transform(ne.embedding, x -> (x::DOUBLE)*(x::DOUBLE))))
+              * sqrt(list_sum(list_transform(qe.embedding, x -> (x::DOUBLE)*(x::DOUBLE)))))
+      ELSE 0.0 END, 6) AS cosine
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ne ON ne.vec_id = c.nbr_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def sql_emb_topk_lsh(
+    k: int = 10,
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB replica of cosine_topk_lsh: same deterministic hyperplanes
+    (embedded as literals), same sign-bit signatures, same multiprobe
+    hamming-ball XOR buckets, same dedup + exact-cosine rescore + top-k."""
+    from debezium_connector_spanner_spark.functions.similarity import (
+        _probe_masks,
+        hyperplanes,
+    )
+
+    plane_rows = ",\n  ".join(
+        f"({t}, {i}, {_sql_dlist(p)})"
+        for t in range(n_tables)
+        for i, p in enumerate(hyperplanes(dim, n_planes, seed=11 + 97 * t))
+    )
+    mask_rows = ", ".join(f"({m})" for m in _probe_masks(n_planes, max_hamming))
+    return f"""
+WITH planes(t, i, p) AS (VALUES
+  {plane_rows}
+),
+masks(m) AS (VALUES {mask_rows}),
+sig AS (
+  SELECT e.vec_id, pl.t,
+         SUM(CASE WHEN list_sum(list_transform(range({dim}),
+                      j -> e.embedding[j+1]::DOUBLE * pl.p[j+1])) >= 0
+                  THEN (1::BIGINT << pl.i) ELSE 0 END)::BIGINT AS sig
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.t
+),
+probes AS (
+  SELECT s.vec_id AS query_id, s.t, xor(s.sig, mk.m) AS bucket
+  FROM sig s CROSS JOIN masks mk
+  WHERE s.vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT p.query_id, s.vec_id AS nbr_id
+  FROM probes p JOIN sig s ON s.t = p.t AND s.sig = p.bucket
+  WHERE s.vec_id != p.query_id
+),
+{_SQL_RESCORE_TOPK.format(k=k)}
+"""
+
+
+def sql_emb_topk_ivf(
+    k: int = 10, n_cells: int = 32, n_probe: int = 4, dim: int = 64
+) -> str:
+    """DuckDB replica of cosine_topk_ivf: same deterministic centroids,
+    same argmax cell assignment (ties -> higher cell id, matching Spark's
+    struct array_max), same top-n_probe query cells, same rescore."""
+    from debezium_connector_spanner_spark.functions.similarity import ivf_centroids
+
+    cent_rows = ",\n  ".join(
+        f"({i}, {_sql_dlist(c)})" for i, c in enumerate(ivf_centroids(dim, n_cells))
+    )
+    return f"""
+WITH cents(i, c) AS (VALUES
+  {cent_rows}
+),
+scores AS (
+  SELECT e.vec_id, ct.i,
+         list_sum(list_transform(range({dim}),
+             j -> e.embedding[j+1]::DOUBLE * ct.c[j+1])) AS d
+  FROM embeddings e CROSS JOIN cents ct
+),
+cell AS (
+  SELECT vec_id, i AS cell FROM (
+    SELECT vec_id, i,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, i DESC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT vec_id AS query_id, i AS cell FROM (
+    SELECT vec_id, i,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, i DESC) AS rn
+    FROM scores WHERE vec_id < 10
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS nbr_id
+  FROM qcells q JOIN cell c ON c.cell = q.cell
+  WHERE c.vec_id != q.query_id
+),
+{_SQL_RESCORE_TOPK.format(k=k)}
+"""
 
 
 # -------------------------------------------------------------- multimodal
@@ -333,6 +461,7 @@ def pipeline_oracles() -> dict[str, str]:
         "docs_quality": SQL_DOCS_QUALITY,
         "docs_langid": sql_docs_langid(),
         "emb_topk_bruteforce": SQL_EMB_TOPK,
-        # emb_topk_lsh: rows-only (ANN; recall gate in pytest instead)
+        "emb_topk_lsh": sql_emb_topk_lsh(),
+        "emb_topk_ivf": sql_emb_topk_ivf(),
         # media_*: rows-only (decode kernel stubbed in this container)
     }
