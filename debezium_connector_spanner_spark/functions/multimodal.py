@@ -73,7 +73,11 @@ def synth_media(spark: SparkSession, n: int = 256, seed: int = 5) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+    # partition count scales with n (one Arrow batch ~64 rows per task)
+    # instead of defaultParallelism: for a small synthetic table this
+    # avoids spinning up 32 Python workers for 8 rows each
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 64))
+    return spark.range(0, n, 1, n_parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def _decode_image(payload: bytes, meta) -> np.ndarray:
