@@ -45,9 +45,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # split scans at 32MB so modest per-batch slices still fan out
-        # across all cores (event-log row groups are written small)
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # split scans at 8MB so a micro-batch's pruned slice (~400MB across
+        # 6 token files) still yields ~50 scan+decode tasks and fans out
+        # across all cores — at 32MB the per-batch window collapses to ~14
+        # effective splits and the decode stage floors at local[32]
+        # (measured: fold+write 6.0s -> 3.0s warm on a 2M-event batch).
+        # On a real cluster with TB scans, raise toward 128MB.
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         # commit protocol: task-side renames (v2) + no _SUCCESS markers —
         # the v1 job-commit does one serial driver-side rename per file,
         # a real per-batch serial cost with bucketed writes

@@ -512,9 +512,15 @@ class CdcReplayEngine:
             schemas_used = {n: st.schema for n, st in self.tables.items()}
             attempts: dict[str, tuple] = {}
             with ThreadPoolExecutor(max_workers=1 + len(self.tables)) as ex:
-                ctrl_future = ex.submit(ctrl_df.collect)
+                def _timed(fn, *a):
+                    s0 = time.monotonic()
+                    out = fn(*a)
+                    return out, round(time.monotonic() - s0, 3)
+
+                ctrl_future = ex.submit(_timed, ctrl_df.collect)
                 merge_futures = {
                     n: ex.submit(
+                        _timed,
                         self._merge_attempt,
                         data_scan.where(F.col("table_name") == n),
                         n,
@@ -527,8 +533,9 @@ class CdcReplayEngine:
                     if self._table_allowed(n)
                 }
                 for n, fut in merge_futures.items():
-                    attempts[n] = fut.result()
-                ctrl = ctrl_future.result()
+                    attempts[n], t_merge = fut.result()
+                    timings[f"merge_{n}_s"] = t_merge
+                ctrl, timings["ctrl_s"] = ctrl_future.result()
             timings["overlap_s"] = round(time.monotonic() - t_stage, 3)
 
             # merge observed schemas per table (additive, widening)
