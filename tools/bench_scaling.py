@@ -47,8 +47,17 @@ print("RESULT " + json.dumps(best))
 """
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(busy+steal total, steal) aggregate ticks from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    return sum(vals), vals[7] if len(vals) > 7 else 0
+
+
 def run_level(par: int, sf_name: str, sf: float) -> dict:
     code = CHILD.format(repo=REPO, par=par, sf_name=sf_name, sf=sf)
+    t_all0, t_steal0 = _cpu_ticks()
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -56,9 +65,16 @@ def run_level(par: int, sf_name: str, sf: float) -> dict:
         cwd=REPO,
         timeout=3600,
     )
+    t_all1, t_steal1 = _cpu_ticks()
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            r = json.loads(line[len("RESULT "):])
+            # hypervisor steal over the whole level run: the fraction of
+            # this VM's cycle entitlement the oversubscribed host withheld
+            # (ceiling-normalization evidence for the N vs 4N criterion)
+            dt = t_all1 - t_all0
+            r["steal_pct"] = round(100.0 * (t_steal1 - t_steal0) / dt, 1) if dt else None
+            return r
     raise RuntimeError(f"no RESULT from local[{par}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
@@ -74,7 +90,10 @@ def main():
         for par in (n, 4 * n):
             r = run_level(par, sf_name, sf)
             results[par].append(r)
-            print(f"local[{par}] wall={r['wall_s']}s tput={r['events_per_sec']}/s")
+            print(
+                f"local[{par}] wall={r['wall_s']}s tput={r['events_per_sec']}/s"
+                f" steal={r.get('steal_pct')}%"
+            )
 
     best = {p: max(r["events_per_sec"] for r in rs) for p, rs in results.items()}
     eff = best[4 * n] / (4 * best[n])

@@ -50,11 +50,16 @@ def measure(par: int) -> float:
 
 
 def main() -> None:
+    # levels on argv; optional reps via CEILING_REPS (best-of, matching the
+    # best-of policy of bench_scaling.py on this ±30%-variance host)
     levels = [int(a) for a in sys.argv[1:]] or [4, 8, 16, 32]
+    reps = int(os.environ.get("CEILING_REPS", "1"))
     wall = {}
-    for par in levels:
-        wall[par] = measure(par)
-        print(f"local[{par}] {wall[par]:.2f}s  ({ROWS/wall[par]/1e6:.0f}M rows/s)")
+    for _ in range(reps):
+        for par in levels:
+            t = measure(par)
+            wall[par] = min(wall.get(par, t), t)
+            print(f"local[{par}] {t:.2f}s  ({ROWS/t/1e6:.0f}M rows/s)")
     pairs = {}
     for n in levels:
         if 4 * n in wall:
