@@ -50,13 +50,20 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def synth_media(spark: SparkSession, n: int = 256, seed: int = 5) -> DataFrame:
-    """Deterministic fake media table (payload = seeded pseudo-bytes)."""
+    """Deterministic fake media table.
+
+    The payload is the ASCII sha256 hexdigest of ``"{seed}|{i}"`` repeated
+    ``17 + i % 13`` times — still an opaque ``binary`` column on the Spark
+    side, but reproducible in ANSI SQL (``repeat(sha256(...), k)``) so the
+    driver's DuckDB oracle can check the feature-extraction output
+    end-to-end despite the decode kernel being stubbed in this container.
+    """
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids = pdf["id"].to_numpy()
             rows = []
             for i in ids:
-                h = hashlib.blake2b(f"{seed}|{i}".encode(), digest_size=32).digest()
+                h = hashlib.sha256(f"{seed}|{i}".encode()).hexdigest().encode()
                 kind = ["image", "audio", "video"][int(i) % 3]
                 rows.append(
                     {

@@ -425,16 +425,27 @@ cand AS (
 # -------------------------------------------------------------- multimodal
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic media table -> mapInPandas feature
-    extraction (decode kernel stubbed; schema/batching real). Rows-only."""
+    extraction (decode kernel stubbed; schema/batching real).
+
+    Oracle-checked: the synthetic payload is an ASCII sha256-hexdigest
+    chain, so DuckDB reproduces payload_sha256/n_bytes exactly even though
+    the decode kernel itself is a stub.
+    """
     media = synth_media(spark, n=256)
     return extract_features(media).select(
-        "media_id", "kind", "payload_sha256", "n_bytes"
+        "media_id",
+        "kind",
+        "payload_sha256",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
     )
 
 
 def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, n=256)
-    return frame_sample_plan(media, every_ms=5000)
+    plan = frame_sample_plan(media, every_ms=5000)
+    return plan.select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
 
 
 PIPELINE_QUERIES = {
@@ -463,5 +474,29 @@ def pipeline_oracles() -> dict[str, str]:
         "emb_topk_bruteforce": SQL_EMB_TOPK,
         "emb_topk_lsh": sql_emb_topk_lsh(),
         "emb_topk_ivf": sql_emb_topk_ivf(),
-        # media_*: rows-only (decode kernel stubbed in this container)
+        "media_features": SQL_MEDIA_FEATURES,
+        "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
     }
+
+
+# Mirrors functions/multimodal.py synth_media + extract_features: payload is
+# the ASCII hexdigest of sha256("5|i") repeated (17 + i % 13) times; the
+# "feature extraction" identity columns (sha256 of payload, byte length) are
+# therefore pure SQL. kind cycles image/audio/video by i % 3.
+SQL_MEDIA_FEATURES = """
+SELECT i::BIGINT AS media_id,
+       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       sha256(repeat(sha256('5|' || i::VARCHAR), 17 + i % 13)) AS payload_sha256,
+       (64 * (17 + i % 13))::BIGINT AS n_bytes
+FROM (SELECT range AS i FROM range(256))
+"""
+
+# Video rows (i % 3 = 2) exploded over sequence(0, duration_ms, 5000) with
+# duration_ms = (1000 + i*37) % 60000 — same inclusive-endpoint semantics
+# as Spark's F.sequence.
+SQL_MEDIA_FRAME_PLAN = """
+SELECT i::BIGINT AS media_id,
+       unnest(generate_series(0, (1000 + i * 37) % 60000, 5000))::BIGINT AS frame_ts_ms
+FROM (SELECT range AS i FROM range(256))
+WHERE i % 3 = 2
+"""
