@@ -165,6 +165,10 @@ class FixtureBuilder:
         self.final: dict[tuple[str, str], dict] = {}
         self.types_final: dict[int, dict] = {}
         self.stats = {"data_change": 0, "duplicates": 0, "mods": 0}
+        # large parallel builds spill worker rows as per-token Arrow chunk
+        # files instead of pickling them back (see _build_parallel)
+        self.spill_dir: str | None = None
+        self.spilled_events: int = 0
 
     # ------------------------------------------------------------- events
     def _emit(self, **kw):
@@ -515,12 +519,14 @@ class FixtureBuilder:
                 column_types=schema.column_types_json(),
             )
 
-    def build(self, parallel: bool | None = None) -> "FixtureBuilder":
+    def build(
+        self, parallel: bool | None = None, spill_dir: str | None = None
+    ) -> "FixtureBuilder":
         keys = self.cfg.keys()
         if parallel is None:
             parallel = len(keys) > 20_000
         if parallel:
-            self._build_parallel(keys)
+            self._build_parallel(keys, spill_dir=spill_dir)
         else:
             for key_id, (repo, path) in enumerate(keys):
                 self._emit_key_chain(key_id, repo, path)
@@ -535,20 +541,34 @@ class FixtureBuilder:
         )
         return self
 
-    def _build_parallel(self, keys: list[tuple[str, str]]) -> None:
+    def _build_parallel(
+        self, keys: list[tuple[str, str]], spill_dir: str | None = None
+    ) -> None:
         """Per-key chains are pure functions of (cfg, key) — fan out over
         processes and merge. Output is identical to the serial path: the
         global key_id mapping is preserved and the final global sort
-        restores a canonical order."""
+        restores a canonical order.
+
+        With ``spill_dir`` set, each worker converts its rows to Arrow and
+        writes per-token chunk parquet files there instead of pickling the
+        row dicts back through the Pool — at 10M+ events the IPC transfer
+        and the parent-side dict sort dominate wall time otherwise.
+        ``write_fixture`` then merges the chunks columnar-side."""
         import multiprocessing as mp
 
         n_workers = min(16, mp.cpu_count())
         chunks = [
-            (self.cfg, i, n_workers, keys[i::n_workers]) for i in range(n_workers)
+            (self.cfg, i, n_workers, keys[i::n_workers], spill_dir)
+            for i in range(n_workers)
         ]
+        self.spill_dir = spill_dir
         with mp.get_context("fork").Pool(n_workers) as pool:
-            for rows, base_rows, final, stats in pool.map(_chain_chunk, chunks):
-                self.rows.extend(rows)
+            for rows, n_spilled, base_rows, final, stats in pool.map(
+                _chain_chunk, chunks
+            ):
+                if rows:
+                    self.rows.extend(rows)
+                self.spilled_events += n_spilled
                 self.base_rows.extend(base_rows)
                 self.final.update(final)
                 for k, v in stats.items():
@@ -557,12 +577,23 @@ class FixtureBuilder:
 
 def _chain_chunk(args):
     """Worker: build the event chains for a strided slice of the keys."""
-    cfg, start, step, keys = args
+    cfg, start, step, keys, spill_dir = args
     b = FixtureBuilder(cfg)
     for j, (repo, path) in enumerate(keys):
         b._emit_key_chain(start + j * step, repo, path)
     final = {k: v for k, v in b.final.items()}
-    return b.rows, b.base_rows, final, b.stats
+    if spill_dir is None:
+        return b.rows, 0, b.base_rows, final, b.stats
+    by_token: dict[str, list[dict]] = {}
+    for r in b.rows:
+        by_token.setdefault(r["partition_token"], []).append(r)
+    for token, rows in by_token.items():
+        d = os.path.join(spill_dir, token)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            _events_table(rows), os.path.join(d, f"chunk-{start:02d}.parquet")
+        )
+    return None, len(b.rows), b.base_rows, final, b.stats
 
 
 # ------------------------------------------------------------------ arrow io
@@ -593,6 +624,23 @@ EVENTS_ARROW_SCHEMA = pa.schema(
 )
 
 
+def _large_type(t: pa.DataType) -> pa.DataType:
+    """Recursively swap 32-bit-offset string/list types for their large
+    variants so a multi-GB per-token concat+sort doesn't overflow Arrow's
+    int32 offsets (parquet's physical encoding is identical either way)."""
+    if pa.types.is_string(t):
+        return pa.large_string()
+    if pa.types.is_list(t):
+        return pa.large_list(_large_type(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct([f.with_type(_large_type(f.type)) for f in t])
+    return t
+
+
+def _to_large(t: pa.Table) -> pa.Table:
+    return t.cast(pa.schema([f.with_type(_large_type(f.type)) for f in t.schema]))
+
+
 def _events_table(rows: list[dict]) -> pa.Table:
     cols = {}
     for f in EVENTS_ARROW_SCHEMA:
@@ -614,28 +662,50 @@ def write_fixture(out_dir: str, cfg: GeneratorConfig, force: bool = False) -> di
         if m.get("config_json") == cfg_json:
             return m
 
-    b = FixtureBuilder(cfg).build()
-
     tmp = out_dir + ".tmp"
-    if os.path.exists(tmp):
-        import shutil
+    spill = out_dir + ".spill"
+    import shutil
 
-        shutil.rmtree(tmp)
+    for d in (tmp, spill):
+        if os.path.exists(d):
+            shutil.rmtree(d)
     os.makedirs(os.path.join(tmp, "events"), exist_ok=True)
+    os.makedirs(spill, exist_ok=True)
+
+    b = FixtureBuilder(cfg).build(spill_dir=spill)
 
     # one sorted file per partition token -> token-level partition pruning
-    # + commit_ts row-group pruning on the scan path
+    # + commit_ts row-group pruning on the scan path. Parent-built rows
+    # (control records, types probe, hot key — or everything on the serial
+    # path) merge with the workers' spilled Arrow chunks columnar-side.
     by_token: dict[str, list[dict]] = {}
     for r in b.rows:
         by_token.setdefault(r["partition_token"], []).append(r)
-    for token, rows in sorted(by_token.items()):
+    spilled_tokens = set(os.listdir(spill))
+    for token in sorted(set(by_token) | spilled_tokens):
+        parts = []
+        if token in by_token:
+            parts.append(_to_large(_events_table(by_token[token])))
+        tok_spill = os.path.join(spill, token)
+        if token in spilled_tokens:
+            for fn in sorted(os.listdir(tok_spill)):
+                parts.append(_to_large(pq.read_table(os.path.join(tok_spill, fn))))
+        t = pa.concat_tables(parts)
+        # same effective order as the serial path's global
+        # (commit_ts, token, record_sequence-or-"") sort restricted to one
+        # token; null rs (heartbeats/child records) sorts first like ""
+        t = t.sort_by(
+            [("commit_ts", "ascending"), ("record_sequence", "ascending")],
+            null_placement="at_start",
+        )
         d = os.path.join(tmp, "events", f"partition_token={token}")
         os.makedirs(d, exist_ok=True)
         pq.write_table(
-            _events_table(rows),
+            t,
             os.path.join(d, "part-0.parquet"),
             row_group_size=cfg.row_group_size,
         )
+    shutil.rmtree(spill)
 
     base_cols = ["repo", "path", "commit", "lang", "content"]
     base = pd.DataFrame(b.base_rows, columns=base_cols).sort_values(["repo", "path"])
@@ -718,7 +788,7 @@ def write_fixture(out_dir: str, cfg: GeneratorConfig, force: bool = False) -> di
 
     manifest = {
         "config_json": cfg_json,
-        "events": len(b.rows),
+        "events": len(b.rows) + b.spilled_events,
         "data_change": b.stats["data_change"],
         "duplicates": b.stats["duplicates"],
         "mods": b.stats["mods"],
