@@ -314,6 +314,58 @@ class LakeTable:
         s["buckets_compacted"] = len(dirty)
         return self._finish_snapshot(prev, new_id, schema_id, schemas, buckets, s)
 
+    def compact_prepare(self, sid: int | None = None) -> dict | None:
+        """Phase 1 of ASYNC compaction (the maintenance-lane shape real
+        lakehouses use: Iceberg rewrite_data_files / Delta OPTIMIZE run
+        beside the ingest path, not inside it). Folds base+deltas of the
+        dirty buckets AS OF snapshot ``sid`` and writes the replacement
+        base files. No metadata is touched, so this may run concurrently
+        with further delta commits — it only reads the immutable files of
+        ``sid``. Returns a prep dict for :meth:`compact_apply` (or None
+        if nothing to compact)."""
+        snap = self.snapshot(sid)
+        dirty = [
+            int(b)
+            for b, fs in snap["buckets"].items()
+            if any(_entry(e)[3] == "delta" for e in fs)
+        ]
+        if not dirty:
+            return None
+        folded = self.read(sid=snap["id"], buckets=dirty)
+        schema = self.schema(snap["id"])
+        new_files = self._write_data_files(
+            folded, schema, snap["key_cols"], snap["n_buckets"], snap["id"]
+        )
+        return {
+            "base_sid": snap["id"],
+            "dirty": dirty,
+            "files": new_files,
+            "schema_id": snap["schema_id"],
+        }
+
+    def compact_apply(self, prep: dict, summary: dict | None = None) -> int:
+        """Phase 2: rebase-commit a prepared compaction onto the CURRENT
+        snapshot. Per dirty bucket, every entry committed at or before
+        ``base_sid`` (the old base, rank 0, and the folded deltas) is
+        replaced by the new base files; deltas appended after ``base_sid``
+        are kept — the read fold orders rows by (__cdc_ts, rank), and the
+        new base carries its true per-row __cdc_ts, so later deltas still
+        apply on top. Must be called from the single-threaded commit path
+        (the engine batch loop)."""
+        base_sid = prep["base_sid"]
+        prev, new_id, schema, schema_id, schemas = self._next_snapshot(None)
+        buckets = {b: list(fs) for b, fs in prev["buckets"].items()}
+        for b in prep["dirty"]:
+            kept = [e for e in buckets.get(str(b), []) if _entry(e)[2] > base_sid]
+            buckets[str(b)] = [
+                [p, prep["schema_id"], 0, "base"] for p in prep["files"].get(b, [])
+            ] + kept
+        s = dict(summary or {})
+        s["op"] = "compact"
+        s["base_sid"] = base_sid
+        s["buckets_compacted"] = len(prep["dirty"])
+        return self._finish_snapshot(prev, new_id, schema_id, schemas, buckets, s)
+
     # -------------------------------------------------------------- read
     def schema(self, sid: int | None = None) -> T.StructType:
         snap = self.snapshot(sid)

@@ -128,6 +128,7 @@ class CdcReplayEngine:
         use_pandas_udf_decode: bool = False,
         sink_mode: str = "mor",
         compact_every: int = 6,
+        compact_mode: str = "async",  # 'async' (maintenance lane) | 'sync'
         skew_mode: str = "fused",  # 'fused' (1 shuffle) | 'salted' (hot keys)
         table_include: str | None = None,
         table_exclude: str | None = None,
@@ -141,6 +142,13 @@ class CdcReplayEngine:
         self.use_pandas_udf_decode = use_pandas_udf_decode
         self.sink_mode = sink_mode
         self.compact_every = compact_every
+        self.compact_mode = compact_mode
+        # async-compaction maintenance lane: one background driver thread
+        # runs compact_prepare's Spark job; the commit stays in the loop
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        self._maint_pool = _TPE(max_workers=1, thread_name_prefix="cdc-maint")
+        self._compact_futures: dict[str, object] = {}
         self.skew_mode = skew_mode
         self.table_include = table_include
         self.table_exclude = table_exclude
@@ -358,6 +366,23 @@ class CdcReplayEngine:
             if not pending:
                 break
             step(self.end_us)
+
+        # settle the maintenance lane: apply any in-flight/ready async
+        # compaction so the run ends with bounded delta depth (the wait is
+        # usually zero — the prepare job overlapped with earlier batches)
+        if self._compact_futures:
+            sids = self._snapshot_ids()
+            changed = False
+            for name, fut in list(self._compact_futures.items()):
+                prep = fut.result()
+                del self._compact_futures[name]
+                if prep is not None:
+                    sids[name] = self.tables[name].table.compact_apply(
+                        prep, summary={"batch_id": self.batch_id, "at": "drain"}
+                    )
+                    changed = True
+            if changed:
+                self._checkpoint(sids)
 
         totals["batches"] = done
         totals["events_per_sec"] = (
@@ -622,17 +647,50 @@ class CdcReplayEngine:
                         )
             # MOR compaction: bound read-time delta depth; amortizes the
             # rewrite across compact_every batches (O13-adjacent state
-            # bounding for the data files themselves)
+            # bounding for the data files themselves). Default is the
+            # maintenance-lane shape (compact_mode='async'): the fold +
+            # file write runs as a concurrent Spark job in a driver
+            # maintenance thread against an immutable snapshot, and only
+            # the metadata rebase-commit happens here in the (single-
+            # threaded) batch loop — the ingest path never stalls on a
+            # table rewrite, exactly like Iceberg rewrite_data_files /
+            # Delta OPTIMIZE running beside the stream.
             if self.sink_mode == "mor":
                 for name, st in self.tables.items():
-                    if st.table.delta_depth() >= self.compact_every:
-                        t_stage = time.monotonic()
-                        # schema=None: compaction keeps the snapshot schema
-                        # (already includes the __cdc_ts lineage column)
-                        snapshot_ids[name] = st.table.compact(
-                            summary={"batch_id": batch_id}
-                        )
-                        timings["compact_s"] = round(time.monotonic() - t_stage, 3)
+                    fut = self._compact_futures.get(name)
+                    if fut is not None and fut.done():
+                        del self._compact_futures[name]
+                        prep = fut.result()  # surfaces worker errors
+                        if prep is not None:
+                            t_stage = time.monotonic()
+                            snapshot_ids[name] = st.table.compact_apply(
+                                prep, summary={"batch_id": batch_id}
+                            )
+                            timings["compact_apply_s"] = round(
+                                time.monotonic() - t_stage, 3
+                            )
+                    elif (
+                        fut is None
+                        and st.table.delta_depth() >= self.compact_every
+                    ):
+                        if self.compact_mode == "sync":
+                            t_stage = time.monotonic()
+                            # schema=None: compaction keeps the snapshot
+                            # schema (incl. the __cdc_ts lineage column)
+                            snapshot_ids[name] = st.table.compact(
+                                summary={"batch_id": batch_id}
+                            )
+                            timings["compact_s"] = round(
+                                time.monotonic() - t_stage, 3
+                            )
+                        else:
+                            self._compact_futures[name] = (
+                                self._maint_pool.submit(
+                                    st.table.compact_prepare,
+                                    st.table.current_snapshot_id(),
+                                )
+                            )
+                            timings["compact_submitted"] = 1.0
 
             for tok in active:
                 r = ctrl_by_token.get(tok)

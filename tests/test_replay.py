@@ -172,3 +172,28 @@ def test_dag_gate_ordering(spark, tmp_root):
     assert first_m_batch is not None
     assert finish_batches["t-A2"] < first_m_batch
     assert finish_batches["t-B"] < first_m_batch
+
+
+def test_async_compaction_matches_sync(spark, tmp_root):
+    """The maintenance-lane compaction (prepare concurrent with later
+    batches, rebase-commit in the loop) must produce the same final state
+    as the in-loop synchronous rewrite, with delta depth re-bounded."""
+    fx = os.path.join(tmp_root, "fx")
+    write_fixture(fx, CFG)
+    eng_a = _mk_engine(
+        spark, fx, os.path.join(tmp_root, "a"), compact_every=2, compact_mode="async"
+    )
+    eng_a.run()
+    eng_s = _mk_engine(
+        spark, fx, os.path.join(tmp_root, "s"), compact_every=2, compact_mode="sync"
+    )
+    eng_s.run()
+    _assert_matches_oracle(eng_a, fx)
+    pd.testing.assert_frame_equal(_final_pd(eng_a), _final_pd(eng_s))
+    # a compaction actually ran and re-bounded the delta stack
+    summaries = [
+        eng_a.table.snapshot(i).get("summary", {})
+        for i in range(1, eng_a.table.current_snapshot_id() + 1)
+    ]
+    assert any(s.get("op") == "compact" for s in summaries)
+    assert eng_a.table.delta_depth() < 6
