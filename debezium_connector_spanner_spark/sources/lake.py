@@ -60,11 +60,14 @@ def _set_flag_fields(schema: T.StructType, key_cols: list[str]) -> list[T.Struct
 
 
 def _entry(e) -> tuple:
-    """Manifest file entry -> (rel_path, schema_id, rank, kind); accepts
-    the legacy 2-tuple [path, schema_id] form as a rank-0 base file."""
+    """Manifest file entry -> (rel_path, schema_id, rank, kind, commit_sid);
+    accepts the legacy 2-tuple [path, schema_id] (rank-0 base) and 4-tuple
+    forms (commit_sid unknown -> 0, which predates every live snapshot)."""
     if len(e) == 2:
-        return e[0], e[1], 0, "base"
-    return tuple(e)
+        return e[0], e[1], 0, "base", 0
+    if len(e) == 4:
+        return (*e, 0)
+    return tuple(e[:5])
 
 
 def bucket_expr(key_cols: list[str], n_buckets: int):
@@ -80,6 +83,11 @@ class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # committed snapshot manifests are immutable -> cache the parsed
+        # JSON per sid so the per-batch bookkeeping (delta_depth, commit,
+        # read) costs a dict lookup, not a reparse that grows with
+        # buckets x files. Bounded LRU-ish: old sids fall out.
+        self._snap_cache: dict[int, dict] = {}
 
     # ------------------------------------------------------------- meta
     @property
@@ -96,8 +104,17 @@ class LakeTable:
     def snapshot(self, sid: int | None = None) -> dict:
         if sid is None:
             sid = self.current_snapshot_id()
-        with open(self._snap_path(sid)) as f:
-            return json.load(f)
+        snap = self._snap_cache.get(sid)
+        if snap is None:
+            with open(self._snap_path(sid)) as f:
+                snap = json.load(f)
+            self._cache_snap(sid, snap)
+        return snap
+
+    def _cache_snap(self, sid: int, snap: dict) -> None:
+        self._snap_cache[sid] = snap
+        while len(self._snap_cache) > 16:
+            del self._snap_cache[min(self._snap_cache)]
 
     def _set_current(self, sid: int) -> None:
         tmp = os.path.join(self._meta_dir, f".CURRENT.{uuid.uuid4().hex}")
@@ -141,7 +158,7 @@ class LakeTable:
         if initial_df is not None:
             files = t._write_data_files(initial_df, schema, key_cols, n_buckets, 0)
             snap["buckets"] = {
-                str(b): [[p, 0, 0, "base"] for p in ps] for b, ps in files.items()
+                str(b): [[p, 0, 0, "base", 0] for p in ps] for b, ps in files.items()
             }
             snap["summary"]["rows_written"] = initial_df.count()
         with open(t._snap_path(0), "w") as f:
@@ -217,6 +234,7 @@ class LakeTable:
         }
         with open(self._snap_path(new_id), "w") as f:
             json.dump(snap, f)
+        self._cache_snap(new_id, snap)
         self._set_current(new_id)
         return new_id
 
@@ -238,7 +256,7 @@ class LakeTable:
         }
         for b in touched_buckets:
             buckets[str(b)] = [
-                [p, schema_id, 0, "base"] for p in new_files.get(b, [])
+                [p, schema_id, 0, "base", new_id] for p in new_files.get(b, [])
             ]
         return self._finish_snapshot(prev, new_id, schema_id, schemas, buckets, summary)
 
@@ -279,7 +297,7 @@ class LakeTable:
         buckets = {b: list(fs) for b, fs in prev["buckets"].items()}
         for b in touched_buckets:
             entry = buckets.setdefault(str(b), [])
-            entry.extend([p, schema_id, new_id, "delta"] for p in new_files.get(b, []))
+            entry.extend([p, schema_id, new_id, "delta", new_id] for p in new_files.get(b, []))
         return self._finish_snapshot(prev, new_id, schema_id, schemas, buckets, summary)
 
     def delta_depth(self) -> int:
@@ -308,7 +326,7 @@ class LakeTable:
         )
         buckets = {b: fs for b, fs in prev["buckets"].items() if int(b) not in set(dirty)}
         for b in dirty:
-            buckets[str(b)] = [[p, schema_id, 0, "base"] for p in new_files.get(b, [])]
+            buckets[str(b)] = [[p, schema_id, 0, "base", new_id] for p in new_files.get(b, [])]
         s = dict(summary or {})
         s["op"] = "compact"
         s["buckets_compacted"] = len(dirty)
@@ -351,14 +369,27 @@ class LakeTable:
         are kept — the read fold orders rows by (__cdc_ts, rank), and the
         new base carries its true per-row __cdc_ts, so later deltas still
         apply on top. Must be called from the single-threaded commit path
-        (the engine batch loop)."""
+        (the engine batch loop).
+
+        Precondition guard: if any dirty bucket holds a BASE entry committed
+        AFTER ``base_sid`` (a commit_merge / concurrent compaction landed
+        between prepare and apply), applying the stale prepared base would
+        silently drop that rewrite — raise instead of losing data."""
         base_sid = prep["base_sid"]
         prev, new_id, schema, schema_id, schemas = self._next_snapshot(None)
         buckets = {b: list(fs) for b, fs in prev["buckets"].items()}
         for b in prep["dirty"]:
+            for e in buckets.get(str(b), []):
+                _, _, _, kind, commit_sid = _entry(e)
+                if kind == "base" and commit_sid > base_sid:
+                    raise RuntimeError(
+                        f"compact_apply: bucket {b} was rewritten at snapshot "
+                        f"{commit_sid} > prepared base {base_sid}; discard the "
+                        "prepared compaction and re-prepare"
+                    )
             kept = [e for e in buckets.get(str(b), []) if _entry(e)[2] > base_sid]
             buckets[str(b)] = [
-                [p, prep["schema_id"], 0, "base"] for p in prep["files"].get(b, [])
+                [p, prep["schema_id"], 0, "base", new_id] for p in prep["files"].get(b, [])
             ] + kept
         s = dict(summary or {})
         s["op"] = "compact"
@@ -391,7 +422,7 @@ class LakeTable:
             if want is not None and int(b) not in want:
                 continue
             for e in fs:
-                rel, sch_id, rank, kind = _entry(e)
+                rel, sch_id, rank, kind, _csid = _entry(e)
                 groups.setdefault((int(sch_id), int(rank), kind), []).append(
                     os.path.join(self.root, rel)
                 )

@@ -144,11 +144,15 @@ class CdcReplayEngine:
         self.compact_every = compact_every
         self.compact_mode = compact_mode
         # async-compaction maintenance lane: one background driver thread
-        # runs compact_prepare's Spark job; the commit stays in the loop
-        from concurrent.futures import ThreadPoolExecutor as _TPE
-
-        self._maint_pool = _TPE(max_workers=1, thread_name_prefix="cdc-maint")
+        # runs compact_prepare's Spark job; the commit stays in the loop.
+        # Created lazily (only mor+async uses it) and shut down at the end
+        # of run() so no non-daemon thread outlives the engine.
+        self._maint_pool = None
         self._compact_futures: dict[str, object] = {}
+        # serial checkpoint writer: the JSON dump + renames happen off the
+        # batch loop; single worker preserves write order, run() joins it
+        self._ckpt_pool = None
+        self._ckpt_future = None
         self.skew_mode = skew_mode
         self.table_include = table_include
         self.table_exclude = table_exclude
@@ -167,6 +171,9 @@ class CdcReplayEngine:
         self.max_stale_batches = 3
         self.stuck_policy = stuck_policy
         self._stale_counts: dict[str, int] = {}
+        # K3 sizing rate model: EMA of observed change events per µs of
+        # window, checkpointed so a resumed engine keeps its calibration
+        self._rate_ev_per_us: float | None = None
         os.makedirs(checkpoint_dir, exist_ok=True)
 
         # normalize the single-table legacy shape to the multi-table one
@@ -226,6 +233,7 @@ class CdcReplayEngine:
                     TableSchema.from_column_types_json(name, ts["schema_cols"]), lake
                 )
             self.watermark_us = ckpt["watermark_us"]
+            self._rate_ev_per_us = ckpt.get("rate_ev_per_us")
         self.metrics_path = os.path.join(checkpoint_dir, "metrics.jsonl")
 
     # ------------------------------------------------------------- layout
@@ -254,7 +262,29 @@ class CdcReplayEngine:
         with open(os.path.join(self.checkpoint_dir, name)) as f:
             return json.load(f)
 
-    def _checkpoint(self, snapshot_ids: dict[str, int]) -> None:
+    def _pool(self, attr: str, prefix: str):
+        pool = getattr(self, attr)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix=prefix)
+            setattr(self, attr, pool)
+        return pool
+
+    def close(self) -> None:
+        """Join the checkpoint writer and stop the maintenance lane. Safe
+        to call repeatedly; run() calls it on every exit path."""
+        if self._ckpt_future is not None:
+            self._ckpt_future.result()
+            self._ckpt_future = None
+        for attr in ("_ckpt_pool", "_maint_pool"):
+            pool = getattr(self, attr)
+            if pool is not None:
+                pool.shutdown(wait=True, cancel_futures=True)
+                setattr(self, attr, None)
+        self._compact_futures.clear()
+
+    def _checkpoint(self, snapshot_ids: dict[str, int], sync: bool = False) -> None:
         state = {
             "batch_id": self.batch_id,
             "start_us": self.start_us,
@@ -262,6 +292,7 @@ class CdcReplayEngine:
             "n_batches": self.n_batches,
             "frontier_us": self.frontier_us,
             "watermark_us": self.watermark_us,
+            "rate_ev_per_us": self._rate_ev_per_us,
             "tables": {
                 n: {
                     "schema_cols": st.schema.column_types_json(),
@@ -280,6 +311,24 @@ class CdcReplayEngine:
             },
         }
         path = self._ckpt_path(self.batch_id)
+        # the state dict is fully materialized here (no shared mutable
+        # refs), so the serialization + atomic renames can run on the
+        # writer thread. Exactly-once is unaffected: data commits still
+        # strictly precede their checkpoint; a crash before the write
+        # lands just resumes one batch earlier (rollback + idempotent
+        # re-apply). run()/close() join the writer, so by the time a
+        # caller can construct a resumed engine the file is durable.
+        if self._ckpt_future is not None:
+            self._ckpt_future.result()  # keep ordering + surface errors
+        if sync:
+            self._ckpt_future = None
+            self._write_checkpoint(state, path)
+        else:
+            self._ckpt_future = self._pool("_ckpt_pool", "cdc-ckpt").submit(
+                self._write_checkpoint, state, path
+            )
+
+    def _write_checkpoint(self, state: dict, path: str) -> None:
         tmp = path + "." + uuid.uuid4().hex
         with open(tmp, "w") as f:
             json.dump(state, f)
@@ -318,19 +367,48 @@ class CdcReplayEngine:
         return self._active_scan(active, batch_end_us).count()
 
     def _size_batch(self, active: list[str], target_end_us: int) -> int:
-        """K3 batch sizing: bisect the window until the event count fits
-        max_events_per_batch (or the window is 1us wide). Keeps the fold
-        shuffle bounded when the same n_batches faces 100x the input."""
+        """K3 batch sizing: pick a window whose expected event count fits
+        max_events_per_batch. Keeps the fold shuffle bounded when the same
+        n_batches faces 100x the input.
+
+        Steady state costs ZERO extra Spark jobs: the window is sized from
+        the EMA of observed events/µs (updated every batch, checkpointed),
+        self-correcting within a batch if the rate drifts. Only the cold
+        start (no rate yet) pays count-probe bisection — and only until
+        the first non-empty batch calibrates the model."""
         if self.max_events_per_batch is None or not active:
             return target_end_us
         lo = self.frontier_us
         hi = target_end_us
+        if self._rate_ev_per_us:
+            est_span = int(self.max_events_per_batch / self._rate_ev_per_us)
+            return min(hi, max(lo + 1, lo + est_span))
         while hi - lo > 1 and self._probe_count(active, hi) > self.max_events_per_batch:
             hi = lo + (hi - lo) // 2
         return hi
 
+    def _observe_rate(self, events: int, window_lo_us: int, window_hi_us: int) -> None:
+        span = window_hi_us - window_lo_us
+        if span <= 0 or events <= 0:
+            return
+        rate = events / span
+        self._rate_ev_per_us = (
+            rate
+            if self._rate_ev_per_us is None
+            else 0.5 * self._rate_ev_per_us + 0.5 * rate
+        )
+
     # -------------------------------------------------------------- run
     def run(self, max_batches: int | None = None) -> dict:
+        try:
+            return self._run(max_batches)
+        finally:
+            # join the checkpoint writer + stop the maintenance lane on
+            # EVERY exit path (incl. raise with a compact_prepare in
+            # flight) — no leaked threads, no unjoined background job
+            self.close()
+
+    def _run(self, max_batches: int | None = None) -> dict:
         done = 0
         totals = {"events": 0, "mods": 0, "wall_s": 0.0}
 
@@ -685,7 +763,7 @@ class CdcReplayEngine:
                             )
                         else:
                             self._compact_futures[name] = (
-                                self._maint_pool.submit(
+                                self._pool("_maint_pool", "cdc-maint").submit(
                                     st.table.compact_prepare,
                                     st.table.current_snapshot_id(),
                                 )
@@ -768,6 +846,7 @@ class CdcReplayEngine:
             del self.tokens[t]
 
         self.batch_id = batch_id
+        self._observe_rate(events, self.frontier_us, batch_end_us)
         self.frontier_us = max(self.frontier_us, batch_end_us)
         self._checkpoint(snapshot_ids)
 

@@ -32,10 +32,14 @@ ARR_MB = 256
 SECONDS = 8.0
 
 
-def _worker(q):
+def _worker(q, barrier):
     a = np.ones(ARR_MB * 1024 * 1024 // 8, dtype=np.float64)
     # warm
     a.sum()
+    # synchronized measurement window: without the barrier, early-started
+    # workers measure part of their window under reduced contention and
+    # inflate the aggregate at high parallelism
+    barrier.wait()
     n = 0
     t0 = time.monotonic()
     while time.monotonic() - t0 < SECONDS:
@@ -46,8 +50,10 @@ def _worker(q):
 
 
 def measure(par: int) -> float:
-    q = mp.get_context("fork").Queue()
-    ps = [mp.get_context("fork").Process(target=_worker, args=(q,)) for _ in range(par)]
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    barrier = ctx.Barrier(par)
+    ps = [ctx.Process(target=_worker, args=(q, barrier)) for _ in range(par)]
     for p in ps:
         p.start()
     total = sum(q.get() for _ in ps)

@@ -110,11 +110,12 @@ def main():
         "runs": results,
     }
     print(json.dumps(summary))
+    # appended under the dedicated skew-mode table at the end of the doc
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
         f.write(
-            f"\n| skew local[{par}] | fused {best['fused']:.0f} ev/s | salted "
-            f"{best['salted']:.0f} ev/s | speedup {best['salted']/best['fused']:.2f} "
-            f"| {m['events']} events, {hot} on one key |"
+            f"\n| {m['events']} events, {hot} on one key "
+            f"(~{100 * hot // m['events']}%), local[{par}] | {best['fused']:.0f} "
+            f"| {best['salted']:.0f} | {best['salted']/best['fused']:.2f} |"
         )
 
 
