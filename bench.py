@@ -60,6 +60,12 @@ def bench_fixture_config(sf: float) -> GeneratorConfig:
 
 
 def run_cdc_replay(spark, sf_name: str, sf: float, n_batches: int = 8) -> dict:
+    # bucket count scales with the session's parallelism (the fold shuffle
+    # has n_buckets partitions: 5 waves per core packs the stage tail —
+    # 64 buckets on 32 cores is 2 exact waves and stragglers idle half
+    # the machine; swept in tools/sweep_scaling.py). Like shuffle
+    # partitions on a real cluster, sized at table create per deployment.
+    n_buckets = max(64, 5 * spark.sparkContext.defaultParallelism)
     import json as _json
 
     fx_override = os.environ.get("BENCH_FIXTURE")
@@ -91,7 +97,7 @@ def run_cdc_replay(spark, sf_name: str, sf: float, n_batches: int = 8) -> dict:
         n_batches=n_batches,
         initial_schema=REPOS_SCHEMA_V1,
         base_df=base,
-        n_buckets=64,
+        n_buckets=n_buckets,
     )
     totals = eng.run()
     wall = time.monotonic() - t0

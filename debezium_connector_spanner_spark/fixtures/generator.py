@@ -103,7 +103,7 @@ class GeneratorConfig:
     # UPDATEs that set a column to an explicit JSON null (the engine must
     # apply the null, not keep the stale value)
     null_update_frac: float = 0.10
-    fixture_version: int = 2          # bump to invalidate cached fixtures
+    fixture_version: int = 3          # bump to invalidate cached fixtures
     # second change-stream table with every supported type code (multi-
     # table routing + DataTypesIT-style end-to-end fidelity); 0 = disabled
     types_probe_keys: int = 0
@@ -116,8 +116,12 @@ class GeneratorConfig:
     evolve_widen_at: float = 0.75     # stars -> FLOAT64
     content_len_max: int = 400
     # small row groups keep the log splittable: scan parallelism must come
-    # from row-group splits, not partition-token count (few, coarse tokens)
-    row_group_size: int = 16384
+    # from row-group splits, not partition-token count (few, coarse tokens).
+    # 4096 rows ~= 2MB keeps one row group per scan split even at the
+    # finest split size the session picks at high core counts — at 16384
+    # (~8MB) a 2MB split quantizes to whole row groups and the extra
+    # splits are empty, capping scan-stage wave packing
+    row_group_size: int = 4096
 
     def keys(self) -> list[tuple[str, str]]:
         out = []
@@ -314,6 +318,16 @@ class FixtureBuilder:
             "c_json": json.dumps({"k": h % 10, "tag": f"t{rev}"}, sort_keys=True),
             "c_arr_str": [f"a{h % 7}", None, f"b{rev}"],
             "c_arr_int": [h % 13, (h // 7) % 13],
+            "c_tokenlist": f"tl:{h % 5}:{h % 97}",
+            "c_uuid": (
+                lambda d: f"{d[:8]}-{d[8:12]}-{d[12:16]}-{d[16:20]}-{d[20:32]}"
+            )(hashlib.blake2b(f"u|{key_id}|{rev}".encode(), digest_size=16).hexdigest()),
+            "c_arr_bytes": [
+                _b64.b64encode(
+                    hashlib.blake2b(f"ab|{key_id}|{rev}|{j}".encode(), digest_size=6).digest()
+                ).decode()
+                for j in range(1 + h % 3)
+            ],
         }
 
     def _emit_types_chain(self, key_id: int):
@@ -754,6 +768,9 @@ def write_fixture(out_dir: str, cfg: GeneratorConfig, force: bool = False) -> di
                 ("c_json", pa.string()),
                 ("c_arr_str", pa.list_(pa.string())),
                 ("c_arr_int", pa.list_(pa.int64())),
+                ("c_tokenlist", pa.string()),
+                ("c_uuid", pa.string()),
+                ("c_arr_bytes", pa.list_(pa.binary())),
             ]
         )
         trows = []
@@ -761,6 +778,10 @@ def write_fixture(out_dir: str, cfg: GeneratorConfig, force: bool = False) -> di
             r = {"id": k, **v}
             if r.get("c_bytes") is not None:
                 r["c_bytes"] = _b64.b64decode(r["c_bytes"])  # physical shape
+            if r.get("c_arr_bytes") is not None:
+                r["c_arr_bytes"] = [
+                    None if x is None else _b64.b64decode(x) for x in r["c_arr_bytes"]
+                ]
             trows.append(r)
         cols = {
             f.name: pa.array([r.get(f.name) for r in trows], type=f.type)
@@ -833,3 +854,103 @@ def ensure_fixture(sf_dir: str, schema_evolution: bool = False) -> str:
     out = os.path.join(FIXTURE_ROOT, f"{name}{suffix}")
     write_fixture(out, fixture_config_for_sf(sf_dir, schema_evolution))
     return out
+
+
+def write_pg_json_log(fx_dir: str, force: bool = False) -> str:
+    """Derive the PG-dialect wire log from a canonical fixture: each change
+    record re-encoded as ONE JSON document keyed by its record kind, the
+    shape the reference's PostgreSQL dialect returns from the TVF
+    (/root/reference db/mapper/ChangeStreamRecordMapper.java:58-90,
+    332-393; mods carry keys/new_values/old_values as nested JSON objects,
+    not strings). Written beside the canonical log as
+    ``events_pg/partition_token=<tok>/part-0.parquet`` with
+    (commit_ts, record_json) — same token-dir + ts-sorted layout, so the
+    engine's three-layer scan pruning is format-independent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_root = os.path.join(fx_dir, "events_pg")
+    if os.path.exists(out_root) and not force:
+        return out_root
+    ev_root = os.path.join(fx_dir, "events")
+
+    def iso(ts) -> str:
+        return ts.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+
+    for d in sorted(os.listdir(ev_root)):
+        if not d.startswith("partition_token="):
+            continue
+        tbl = pq.read_table(os.path.join(ev_root, d))
+        pdf = tbl.to_pandas()
+        docs = []
+        for r in pdf.itertuples(index=False):
+            rt = r.record_type
+            if rt == DATA_CHANGE:
+                doc = {
+                    "data_change_record": {
+                        "commit_timestamp": iso(r.commit_ts),
+                        "record_sequence": r.record_sequence,
+                        "server_transaction_id": r.server_txn_id,
+                        "is_last_record_in_transaction_in_partition": bool(
+                            r.is_last_in_txn_in_partition
+                        ),
+                        "table_name": r.table_name,
+                        "column_types": json.loads(r.column_types),
+                        "mods": [
+                            {
+                                "keys": json.loads(m["keys"]),
+                                "new_values": None
+                                if m["new_values"] is None
+                                else json.loads(m["new_values"]),
+                                "old_values": None
+                                if m["old_values"] is None
+                                else json.loads(m["old_values"]),
+                            }
+                            for m in r.mods
+                        ],
+                        "mod_type": r.mod_type,
+                        "value_capture_type": r.value_capture_type,
+                        "number_of_records_in_transaction": int(
+                            r.number_of_records_in_transaction
+                        ),
+                        "number_of_partitions_in_transaction": int(
+                            r.number_of_partitions_in_transaction
+                        ),
+                        "transaction_tag": r.transaction_tag or "",
+                        "is_system_transaction": bool(r.is_system_transaction),
+                    }
+                }
+            elif rt == HEARTBEAT:
+                doc = {"heartbeat_record": {"timestamp": iso(r.commit_ts)}}
+            elif rt == CHILD_PARTITIONS:
+                doc = {
+                    "child_partitions_record": {
+                        "start_timestamp": iso(r.commit_ts),
+                        "record_sequence": r.record_sequence or "0",
+                        "child_partitions": [
+                            {
+                                "token": c["token"],
+                                "parent_partition_tokens": list(
+                                    c["parent_partition_tokens"]
+                                ),
+                            }
+                            for c in (r.child_partitions or [])
+                        ],
+                    }
+                }
+            else:  # log-encoded end marker (see sources/pg_json.py docstring)
+                doc = {"partition_end_record": {"end_timestamp": iso(r.commit_ts)}}
+            docs.append(json.dumps(doc, separators=(",", ":")))
+        out_d = os.path.join(out_root, d)
+        os.makedirs(out_d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "commit_ts": pa.array(pdf["commit_ts"], type=pa.timestamp("us", tz="UTC")),
+                    "record_json": pa.array(docs, type=pa.string()),
+                }
+            ),
+            os.path.join(out_d, "part-0.parquet"),
+            row_group_size=16384,
+        )
+    return out_root

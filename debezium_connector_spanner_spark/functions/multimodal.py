@@ -99,27 +99,38 @@ def _decode_image(payload: bytes, meta) -> np.ndarray:
 def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch at a time, constant
     memory per task; at 100 TB the input is repartitioned so each task
-    holds O(batch) payload bytes, never the whole partition."""
+    holds O(batch) payload bytes, never the whole partition.
+
+    The identity columns (payload sha256, byte length) are computed
+    JVM-side with ``F.sha2``/``F.length`` BEFORE the Python kernel — at
+    100 TB of media that hashing must never ride the Arrow round-trip.
+    The kernel computes only ``features`` (the genuinely-Python decode,
+    stubbed in this container) and passes the identity columns through."""
+    prepped = media.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        F.lower(F.sha2(F.coalesce(F.col("payload"), F.lit(b"")), 256)).alias(
+            "payload_sha256"
+        ),
+        F.coalesce(F.length("payload"), F.lit(0)).cast("int").alias("n_bytes"),
+        "payload",
+    )
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            # Series ops over the Arrow batch (no per-row pandas object
-            # churn); the byte hashing itself is C-speed per element.
             payloads = pdf["payload"].map(lambda p: bytes(p) if p is not None else b"")
             vecs = [_decode_image(p, None) for p in payloads]  # stubbed kernel
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "payload_sha256": payloads.map(
-                        lambda p: hashlib.sha256(p).hexdigest()
-                    ),
-                    "n_bytes": payloads.map(len).astype("int32"),
+                    "payload_sha256": pdf["payload_sha256"],
+                    "n_bytes": pdf["n_bytes"],
                     "features": [(v[:16] / 255.0).tolist() for v in vecs],
                 }
             )
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    return prepped.mapInPandas(run, FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -127,10 +138,13 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     of each frame would be a mapInPandas kernel like extract_features)."""
     return (
         media.where(F.col("kind") == "video")
+        # duration-less media yields NO frames (a coalesce-to-0 would emit
+        # one phantom frame at t=0 for every such row)
+        .where(F.col("meta.duration_ms").isNotNull())
         .select(
             "media_id",
             F.explode(
-                F.sequence(F.lit(0), F.coalesce(F.col("meta.duration_ms"), F.lit(0)), F.lit(every_ms))
+                F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
             ).alias("frame_ts_ms"),
         )
     )

@@ -38,7 +38,7 @@ from debezium_connector_spanner_spark.sources.event_schema import (
 )
 from debezium_connector_spanner_spark.streaming.engine import CdcReplayEngine
 
-RUN_FORMAT = 6  # bump to invalidate cached replay state after engine changes
+RUN_FORMAT = 7  # bump to invalidate cached replay state after engine changes
 N_BATCHES = 8
 
 
@@ -86,6 +86,49 @@ def replayed_engine(
 
 def _fx_path(sf_name: str = "sf0.01", evo: bool = False) -> str:
     return os.path.join(FIXTURE_ROOT, sf_name + ("-evo" if evo else ""))
+
+
+def replayed_engine_pg(spark: SparkSession, sf_dir: str) -> CdcReplayEngine:
+    """Same replay, PG-dialect wire format: the log is re-encoded as
+    one-JSON-document-per-record (events_pg/, derived deterministically
+    from the canonical fixture) and decoded via sources/pg_json.py. The
+    DuckDB oracle still reads the CANONICAL log — so a hash match proves
+    the second wire decode end-to-end, not just a round-trip."""
+    from debezium_connector_spanner_spark.fixtures.generator import write_pg_json_log
+
+    fx = ensure_fixture(sf_dir)
+    write_pg_json_log(fx)
+    root = os.path.join(fx, f"run-pg-v{RUN_FORMAT}")
+    cfg = fixture_config_for_sf(sf_dir)
+    fresh = not os.path.exists(os.path.join(root, "table"))
+    base = spark.read.parquet(os.path.join(fx, "base_repos.parquet"))
+    eng = CdcReplayEngine(
+        spark,
+        fx,
+        os.path.join(root, "table"),
+        os.path.join(root, "ckpt"),
+        start_us=EPOCH_MICROS,
+        end_us=EPOCH_MICROS + cfg.duration_s * 1_000_000,
+        n_batches=N_BATCHES,
+        tables={"repos": (REPOS_SCHEMA_V1, base if fresh else None)},
+        n_buckets=16,
+        wire_format="pg_json",
+        table_include="^repos$",  # pg log carries both tables; route repos
+    )
+    eng.run()
+    return eng
+
+
+def q_cdc_final_state_pg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = replayed_engine_pg(spark, sf_dir)
+    return eng.final_state("repos").select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
 
 
 # --------------------------------------------------------------- queries
@@ -155,8 +198,12 @@ def q_cdc_heartbeat_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_watermark_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-internal: per-batch low watermark + throughput (no SQL
-    equivalent -> rows-only driver check; invariants pytest-verified)."""
+    """Per-batch low watermark + event counts from the engine's metrics
+    journal (O9/M1). Fully oracle-checked: the gate/offset/watermark
+    recurrence is deterministic given the log and the batch boundaries,
+    so sql_cdc_watermark_trace re-simulates it batch-by-batch in pure
+    DuckDB SQL (unrolled CTE per batch) and must reproduce the journal
+    exactly. snapshot ids are engine-internal and excluded."""
     eng = replayed_engine(spark, sf_dir)
     rows = [
         (
@@ -165,14 +212,13 @@ def q_cdc_watermark_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
             m["watermark_us"],
             m["events"],
             m["active_tokens"],
-            m["snapshot_id"],
         )
         for m in eng.metrics()
     ]
     return spark.createDataFrame(
         rows,
         "batch_id int, batch_end_us long, watermark_us long, events long, "
-        "active_tokens int, snapshot_id int",
+        "active_tokens int",
     )
 
 
@@ -383,6 +429,11 @@ def q_cdc_types_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_json",
         F.to_json("c_arr_str").alias("c_arr_str_json"),
         F.to_json("c_arr_int").alias("c_arr_int_json"),
+        "c_tokenlist",
+        "c_uuid",
+        # binary array re-encoded per element so both engines compare the
+        # same canonical JSON-of-base64 text
+        F.to_json(F.transform("c_arr_bytes", F.base64)).alias("c_arr_bytes_json"),
     )
 
 
@@ -402,15 +453,18 @@ def sql_cdc_types_final_state(fx: str) -> str:
         ("c_json", "v_c_json"),
         ("c_arr_str_json", "CAST(json_extract(v_raw, '$.c_arr_str') AS VARCHAR)"),
         ("c_arr_int_json", "CAST(json_extract(v_raw, '$.c_arr_int') AS VARCHAR)"),
+        ("c_tokenlist", "v_c_tokenlist"),
+        ("c_uuid", "v_c_uuid"),
+        ("c_arr_bytes_json", "CAST(json_extract(v_raw, '$.c_arr_bytes') AS VARCHAR)"),
     ]
     src_cols = [
         "c_string", "c_int64", "c_float64", "c_float32", "c_bool", "c_bytes",
-        "c_numeric", "c_date", "c_timestamp", "c_json",
+        "c_numeric", "c_date", "c_timestamp", "c_json", "c_tokenlist", "c_uuid",
     ]
     folds = [_col_fold_sql(c) for c in src_cols]
     # arrays: fold the RAW row image of the winning write, then extract the
     # array as canonical JSON text (json_extract_string flattens arrays)
-    for c in ("c_arr_str", "c_arr_int"):
+    for c in ("c_arr_str", "c_arr_int", "c_arr_bytes"):
         written = f"list_contains(json_keys(new_values), '{c}')"
         folds.append(
             f"""
@@ -428,6 +482,7 @@ def sql_cdc_types_final_state(fx: str) -> str:
         "c_bytes_b64": "c_bytes",
         "c_arr_str_json": "c_arr_str",
         "c_arr_int_json": "c_arr_int",
+        "c_arr_bytes_json": "c_arr_bytes",
     }
     sel = ["id"]
     for out, v in cols:
@@ -466,6 +521,109 @@ FROM folded WHERE NOT last_is_del
 """
 
 
+def sql_cdc_watermark_trace(fx: str, sf_name: str = "sf0.01") -> str:
+    """Pure-SQL re-simulation of the engine's batch loop (O1 gate, O9
+    watermark, K2 offset advance, O14 drain) — the semantics of
+    engine.py:_run/_run_batch re-derived independently over the raw log.
+
+    The recurrence is a fixed point per batch, so it unrolls as one CTE
+    block per scheduled batch plus a bounded number of conditional drain
+    passes (a drain runs only while a newly-gated token still has
+    unscanned range; pending sets shrink monotonically, so emitted drain
+    rows are always a prefix — matching the engine's loop exit)."""
+    cfg = fixture_config_for_sf(sf_name)
+    start = EPOCH_MICROS
+    end = EPOCH_MICROS + cfg.duration_s * 1_000_000
+    span = end - start
+    ends = [start + span * (i + 1) // N_BATCHES for i in range(N_BATCHES)]
+    # drain unroll bound: DAG depth (a drain pass opens at most one more
+    # gate level); 4 covers the fixture's root->split->split->merge chain
+    passes = [(i, e, False) for i, e in enumerate(ends)] + [
+        (N_BATCHES + d, end, True) for d in range(4)
+    ]
+
+    blocks = [
+        f"""
+  ev AS (
+    SELECT partition_token AS token, epoch_us(commit_ts) AS ts,
+           record_type, child_partitions
+    FROM read_parquet('{fx}/events/*/*.parquet', hive_partitioning=1)
+  ),
+  tok0 AS MATERIALIZED (
+    SELECT 'Parent0' AS token, CAST([] AS VARCHAR[]) AS parents,
+           CAST({start} AS BIGINT) AS start_us, 'READY' AS state,
+           CAST(NULL AS BIGINT) AS offset_us
+  )"""
+    ]
+    rows = []
+    for i, e_us, is_drain in passes:
+        p, c = i, i + 1  # previous / current state suffix
+        cond = (
+            f"""
+  pend{c} AS MATERIALIZED (
+    SELECT 1 FROM g{c} WHERE state = 'READY'
+      AND COALESCE(offset_us, start_us - 1) < {end}
+  ),"""
+            if is_drain
+            else ""
+        )
+        gate_where = f"WHERE EXISTS (SELECT * FROM pend{c})" if is_drain else ""
+        blocks.append(
+            f"""
+  g{c} AS MATERIALIZED (
+    SELECT t.token, t.parents, t.start_us,
+      CASE WHEN t.state = 'CREATED' AND NOT EXISTS (
+          SELECT 1 FROM tok{p} q
+          WHERE list_contains(t.parents, q.token) AND q.state <> 'FINISHED'
+        ) THEN 'READY' ELSE t.state END AS state,
+      t.offset_us
+    FROM tok{p} t
+  ),{cond}
+  s{c} AS MATERIALIZED (
+    SELECT e.* FROM ev e JOIN g{c} a ON e.token = a.token
+    WHERE a.state = 'READY'
+      AND e.ts > COALESCE(a.offset_us, a.start_us - 1) AND e.ts <= {e_us}
+      {'AND EXISTS (SELECT * FROM pend' + str(c) + ')' if is_drain else ''}
+  ),
+  ch{c} AS MATERIALIZED (
+    SELECT ctoken AS token, arg_min(cparents, ts) AS parents,
+           min(ts) AS start_us
+    FROM (
+      SELECT ts, c.token AS ctoken, c.parent_partition_tokens AS cparents
+      FROM (SELECT ts, UNNEST(child_partitions) AS c FROM s{c}
+            WHERE record_type = 'child_partitions')
+    )
+    WHERE ctoken NOT IN (SELECT token FROM g{c})
+    GROUP BY ctoken
+  ),
+  tok{c} AS MATERIALIZED (
+    SELECT g.token, g.parents, g.start_us,
+      CASE WHEN g.token IN (
+          SELECT token FROM s{c} WHERE record_type = 'partition_end'
+        ) THEN 'FINISHED' ELSE g.state END AS state,
+      CASE WHEN g.state = 'READY' THEN {e_us} ELSE g.offset_us END AS offset_us
+    FROM g{c} g
+    UNION ALL
+    SELECT token, parents, start_us, 'CREATED', NULL FROM ch{c}
+  ),
+  row{c} AS MATERIALIZED (
+    SELECT CAST({i} AS INTEGER) AS batch_id,
+      CAST({e_us} AS BIGINT) AS batch_end_us,
+      COALESCE(
+        (SELECT MIN(COALESCE(offset_us, start_us)) FROM tok{c}
+         WHERE state <> 'FINISHED'),
+        {e_us}) AS watermark_us,
+      (SELECT COUNT(*) FROM s{c}) AS events,
+      CAST((SELECT COUNT(*) FROM g{c} WHERE state = 'READY') AS INTEGER)
+        AS active_tokens
+    {gate_where}
+  )"""
+        )
+        rows.append(f"SELECT * FROM row{c}")
+    union = "\nUNION ALL\n".join(rows)
+    return f"WITH {','.join(blocks)}\n{union}\nORDER BY batch_id"
+
+
 def q_cdc_multi_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-table event routing stats over the multi-table change stream
     (SpannerEventDispatcher dispatch counts)."""
@@ -499,6 +657,7 @@ CDC_QUERIES = {
     "cdc_heartbeat_progress": q_cdc_heartbeat_progress,
     "cdc_watermark_trace": q_cdc_watermark_trace,
     "cdc_final_state_evolved": q_cdc_final_state_evolved,
+    "cdc_final_state_pg": q_cdc_final_state_pg,
 }
 
 
@@ -513,7 +672,10 @@ def cdc_oracles(sf_name: str = "sf0.01") -> dict[str, str]:
         "cdc_types_final_state": sql_cdc_types_final_state(fx),
         "cdc_multi_table_stats": sql_cdc_multi_table_stats(fx),
         "cdc_final_state_evolved": sql_cdc_final_state_evolved(_fx_path(sf_name, evo=True)),
-        # cdc_watermark_trace: rows-only by design (engine-internal metrics)
+        # pg wire replay vs the SAME canonical-log oracle (D1 2nd dialect)
+        "cdc_final_state_pg": sql_cdc_final_state(_fx_path(sf_name)),
+        # batch-loop re-simulation (gate/offset/watermark/drain) in SQL
+        "cdc_watermark_trace": sql_cdc_watermark_trace(fx, sf_name),
     }
 
 

@@ -13,6 +13,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _cores(master: str) -> int:
+    """Worker-thread count implied by the master URL (local[N] / local[*]);
+    cluster masters fall back to the machine's count — the split-size rule
+    below is per-executor there anyway."""
+    import re
+
+    m = re.match(r"local\[(\d+|\*)\]", master or "")
+    if m:
+        return os.cpu_count() or 8 if m.group(1) == "*" else int(m.group(1))
+    return os.cpu_count() or 8
+
+
 def get_spark(
     app_name: str = "spanner-cdc-spark",
     master: str | None = None,
@@ -45,13 +57,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # split scans at 8MB so a micro-batch's pruned slice (~400MB across
-        # 6 token files) still yields ~50 scan+decode tasks and fans out
-        # across all cores — at 32MB the per-batch window collapses to ~14
-        # effective splits and the decode stage floors at local[32]
-        # (measured: fold+write 6.0s -> 3.0s warm on a 2M-event batch).
-        # On a real cluster with TB scans, raise toward 128MB.
-        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        # Scan split size scales INVERSELY with core count so the scan
+        # stage always packs >=3-4 task waves per core regardless of
+        # parallelism (the wave-quantization fix: a micro-batch's pruned
+        # slice at 8MB splits is ~40 tasks — 5 clean waves on 8 cores but
+        # 1.2 ragged waves on 32, idling most of the machine through the
+        # stage tail). Swept on the 4.1M-event fold job
+        # (tools/sweep_scaling.py, best-of-3): local[32] 12.6s@8MB ->
+        # 9.5s@2MB; local[8] prefers 8MB (14.6s vs 15.6s@2MB). Rule:
+        # 64MB/cores clamped to [2MB, 8MB] locally. On a real cluster the
+        # same rule applies against per-executor cores (~128MB/4 cores).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            str(max(2, min(8, 64 // _cores(master))) * 1024 * 1024),
+        )
         # commit protocol: task-side renames (v2) + no _SUCCESS markers —
         # the v1 job-commit does one serial driver-side rename per file,
         # a real per-batch serial cost with bucketed writes

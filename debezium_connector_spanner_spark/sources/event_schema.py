@@ -246,5 +246,12 @@ TYPES_PROBE_SCHEMA = TableSchema(
         ColumnSpec("c_json", "JSON", ordinal_position=11),
         ColumnSpec("c_arr_str", "ARRAY", ordinal_position=12, array_element_type="STRING"),
         ColumnSpec("c_arr_int", "ARRAY", ordinal_position=13, array_element_type="INT64"),
+        # completes db/model/schema/DataType.java:11-26 (STRUCT is declared
+        # but rejected by the reference's own parser): TOKENLIST and UUID
+        # are Connect STRINGs; ARRAY<BYTES> exercises the per-element
+        # base64->binary transform in apply_spanner_casts
+        ColumnSpec("c_tokenlist", "TOKENLIST", ordinal_position=14),
+        ColumnSpec("c_uuid", "UUID", ordinal_position=15),
+        ColumnSpec("c_arr_bytes", "ARRAY", ordinal_position=16, array_element_type="BYTES"),
     ),
 )

@@ -60,14 +60,22 @@ def _set_flag_fields(schema: T.StructType, key_cols: list[str]) -> list[T.Struct
 
 
 def _entry(e) -> tuple:
-    """Manifest file entry -> (rel_path, schema_id, rank, kind, commit_sid);
-    accepts the legacy 2-tuple [path, schema_id] (rank-0 base) and 4-tuple
-    forms (commit_sid unknown -> 0, which predates every live snapshot)."""
+    """Manifest file entry ->
+    (rel_path, schema_id, rank, kind, commit_sid, n_write); accepts the
+    legacy 2-tuple [path, schema_id] (rank-0 base) and 4/5-tuple forms
+    (commit_sid unknown -> 0, which predates every live snapshot;
+    n_write None -> written under the snapshot's current bucket count).
+
+    ``n_write`` is the bucket count the file was PHYSICALLY written under;
+    it differs from the snapshot's bucket count only after a metadata-only
+    grow_buckets renumbering, and drives the read-time key filter."""
     if len(e) == 2:
-        return e[0], e[1], 0, "base", 0
+        return e[0], e[1], 0, "base", 0, None
     if len(e) == 4:
-        return (*e, 0)
-    return tuple(e[:5])
+        return (*e, 0, None)
+    if len(e) == 5:
+        return (*e, None)
+    return tuple(e[:6])
 
 
 def bucket_expr(key_cols: list[str], n_buckets: int):
@@ -359,6 +367,7 @@ class LakeTable:
             "dirty": dirty,
             "files": new_files,
             "schema_id": snap["schema_id"],
+            "n_buckets": snap["n_buckets"],
         }
 
     def compact_apply(self, prep: dict, summary: dict | None = None) -> int:
@@ -377,10 +386,15 @@ class LakeTable:
         silently drop that rewrite — raise instead of losing data."""
         base_sid = prep["base_sid"]
         prev, new_id, schema, schema_id, schemas = self._next_snapshot(None)
+        if prep.get("n_buckets", prev["n_buckets"]) != prev["n_buckets"]:
+            raise RuntimeError(
+                "compact_apply: bucket count changed since prepare "
+                f"({prep.get('n_buckets')} -> {prev['n_buckets']}); re-prepare"
+            )
         buckets = {b: list(fs) for b, fs in prev["buckets"].items()}
         for b in prep["dirty"]:
             for e in buckets.get(str(b), []):
-                _, _, _, kind, commit_sid = _entry(e)
+                _, _, _, kind, commit_sid, _nw = _entry(e)
                 if kind == "base" and commit_sid > base_sid:
                     raise RuntimeError(
                         f"compact_apply: bucket {b} was rewritten at snapshot "
@@ -396,6 +410,127 @@ class LakeTable:
         s["base_sid"] = base_sid
         s["buckets_compacted"] = len(prep["dirty"])
         return self._finish_snapshot(prev, new_id, schema_id, schemas, buckets, s)
+
+    # ---------------------------------------------------------------- gc
+    def expire_snapshots(self, older_than_sid: int) -> dict:
+        """Expire snapshot manifests with id < ``older_than_sid`` and
+        delete data files no RETAINED snapshot references — the Iceberg
+        ``expire_snapshots`` + ``remove_orphan_files`` pair rolled into
+        one bounded sweep (reference parity: finished-partition cleanup
+        after a deletion delay, /root/reference
+        task/operation/RemoveFinishedPartitionOperation.java:45-135).
+
+        Covers all three leak classes: manifests of superseded snapshots,
+        delta/base files replaced by compaction, and orphans from
+        rolled-back (uncheckpointed) commits. Files are only deleted from
+        write-dirs whose writing snapshot id is ALSO below the floor, so
+        an in-flight maintenance write (async compact_prepare against a
+        recent snapshot) is never touched. Without this, metadata and
+        dead files grow linearly with batch count — untenable at 10^10
+        events."""
+        current = self.current_snapshot_id()
+        older_than_sid = min(older_than_sid, current)
+        sids = sorted(
+            int(f[5:13])
+            for f in os.listdir(self._meta_dir)
+            if f.startswith("snap-") and f.endswith(".json")
+        )
+        retained = [s for s in sids if s >= older_than_sid]
+        expired = [s for s in sids if s < older_than_sid]
+        referenced: set[str] = set()
+        for s in retained:
+            for fs in self.snapshot(s)["buckets"].values():
+                referenced.update(os.path.normpath(_entry(e)[0]) for e in fs)
+        removed_files = 0
+        data_dir = os.path.join(self.root, "data")
+        if os.path.isdir(data_dir):
+            for d in os.listdir(data_dir):
+                try:
+                    wsid = int(d.split("-")[1])
+                except (IndexError, ValueError):
+                    continue
+                if wsid >= older_than_sid:
+                    continue
+                for sub, _dirs, files in os.walk(os.path.join(data_dir, d), topdown=False):
+                    for fn in files:
+                        full = os.path.join(sub, fn)
+                        if os.path.normpath(os.path.relpath(full, self.root)) not in referenced:
+                            os.remove(full)
+                            removed_files += 1
+                    if not os.listdir(sub):
+                        os.rmdir(sub)
+        for s in expired:
+            os.remove(self._snap_path(s))
+            self._snap_cache.pop(s, None)
+        return {"expired_snapshots": len(expired), "removed_files": removed_files}
+
+    # ------------------------------------------------------- bucket growth
+    def grow_buckets(self, factor: int = 2, summary: dict | None = None) -> int:
+        """METADATA-ONLY bucket-count growth: double (or xN) the bucket
+        space without rewriting a byte. Because bucket = hash % n, a file
+        written under ``old_n`` for bucket ``b`` can only contain keys
+        whose bucket under ``new_n = old_n * factor`` is in
+        ``{b, b+old_n, b+2*old_n, ...}`` — so each legacy file is listed
+        under exactly those child buckets, annotated with its physical
+        ``n_write``; subset reads add a key-hash filter for legacy files
+        (read()). Compaction rewrites dirty buckets at the new count, so
+        files migrate to native bucketing incrementally.
+
+        At 100 TB this is how per-bucket file counts stay bounded as the
+        table grows 100x: growth is O(metadata), the rewrite cost rides
+        the compactions that were happening anyway (same shape as Iceberg
+        partition-spec evolution: old files keep their spec, new writes
+        use the new one)."""
+        if factor < 2:
+            raise ValueError("factor must be >= 2")
+        prev, new_id, schema, schema_id, schemas = self._next_snapshot(None)
+        old_n = prev["n_buckets"]
+        new_n = old_n * factor
+        buckets: dict[str, list] = {}
+        for b_new in range(new_n):
+            src = prev["buckets"].get(str(b_new % old_n), [])
+            out = []
+            for e in src:
+                rel, sch_id, rank, kind, csid, nw = _entry(e)
+                out.append([rel, sch_id, rank, kind, csid, nw if nw is not None else old_n])
+            if out:
+                buckets[str(b_new)] = out
+        s = dict(summary or {})
+        s["op"] = "grow_buckets"
+        s["n_buckets_from"], s["n_buckets_to"] = old_n, new_n
+        snap = {
+            "id": new_id,
+            "parent": prev["id"],
+            "key_cols": prev["key_cols"],
+            "n_buckets": new_n,
+            "schema_id": schema_id,
+            "schemas": schemas,
+            "buckets": buckets,
+            "summary": s,
+        }
+        with open(self._snap_path(new_id), "w") as f:
+            json.dump(snap, f)
+        self._cache_snap(new_id, snap)
+        self._set_current(new_id)
+        return new_id
+
+    def base_bytes(self) -> int:
+        """Physical bytes across unique referenced base files."""
+        snap = self.snapshot()
+        seen = set()
+        for fs in snap["buckets"].values():
+            for e in fs:
+                rel = _entry(e)[0]
+                if _entry(e)[3] == "base" and rel not in seen:
+                    seen.add(rel)
+        return sum(os.path.getsize(os.path.join(self.root, r)) for r in seen)
+
+    def data_file_count(self) -> int:
+        """Physical parquet files on disk (referenced or not) — GC tests."""
+        n = 0
+        for _sub, _dirs, files in os.walk(os.path.join(self.root, "data")):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
 
     # -------------------------------------------------------------- read
     def schema(self, sid: int | None = None) -> T.StructType:
@@ -416,21 +551,27 @@ class LakeTable:
         barriers honored)."""
         snap = self.snapshot(sid)
         target = T.StructType.fromJson(json.loads(snap["schemas"][str(snap["schema_id"])]))
+        n_buckets = snap["n_buckets"]
         want = None if buckets is None else {int(b) for b in buckets}
-        groups: dict[tuple[int, int, str], list[str]] = {}
+        # group by (schema, rank, kind, physical bucket count); paths are
+        # deduped because a legacy file (written before a grow_buckets
+        # renumbering) is listed under several child buckets
+        groups: dict[tuple[int, int, str, int], set[str]] = {}
         for b, fs in snap["buckets"].items():
             if want is not None and int(b) not in want:
                 continue
             for e in fs:
-                rel, sch_id, rank, kind, _csid = _entry(e)
-                groups.setdefault((int(sch_id), int(rank), kind), []).append(
+                rel, sch_id, rank, kind, _csid, nw = _entry(e)
+                nw = n_buckets if nw is None else int(nw)
+                groups.setdefault((int(sch_id), int(rank), kind, nw), set()).add(
                     os.path.join(self.root, rel)
                 )
         key_cols = snap["key_cols"]
         value_names = [f.name for f in target.fields if f.name not in key_cols]
         parts = []
         any_delta = False
-        for (sch_id, rank, kind), paths in sorted(groups.items()):
+        for (sch_id, rank, kind, nw), pathset in sorted(groups.items()):
+            paths = sorted(pathset)
             file_schema = T.StructType.fromJson(json.loads(snap["schemas"][str(sch_id)]))
             read_schema = file_schema
             if kind == "delta":
@@ -445,6 +586,11 @@ class LakeTable:
                     ]
                 )
             df = self.spark.read.schema(read_schema).parquet(*paths)
+            if want is not None and nw != n_buckets:
+                # legacy-bucketed file in a subset read: keep only the keys
+                # that map into the requested buckets under the CURRENT
+                # bucket count (full reads need no filter — paths dedup)
+                df = df.where(bucket_expr(key_cols, n_buckets).isin(sorted(want)))
             names = set(read_schema.fieldNames())
             proj = [
                 (F.col(f.name) if f.name in names else F.lit(None)).cast(f.dataType).alias(f.name)

@@ -1,0 +1,120 @@
+"""PG-dialect wire format: one JSON document per change record (D1/D2).
+
+The reference decodes three wire shapes; this is the PostgreSQL-dialect
+one, where the change-stream TVF returns each record as a single JSONB
+document keyed by exactly one of ``data_change_record`` /
+``heartbeat_record`` / ``child_partitions_record``
+(/root/reference db/mapper/ChangeStreamRecordMapper.java:58-90,180-198
+for the record demux and :332-393 toDataChangeEventJson for the field
+mapping; mod keys/new_values/old_values are nested JSON OBJECTS that the
+mapper re-serializes to strings, :421-442 modJsonFrom).
+
+Spark-native decode: ONE ``parse_json`` per record into a Variant, then
+structural ``variant_get`` extraction (no per-field document re-parse,
+no Python), with ``to_json`` re-serializing mods/column_types to the
+canonical string form the downstream decode_mods pipeline consumes. The
+output is EVENT_LOG_SCHEMA-shaped, so the entire engine (DAG gate, LWW
+fold, MERGE, schema registry) runs unchanged on either wire format.
+
+One deviation, documented: the reference synthesizes the end-of-partition
+event client-side when the TVF result set drains
+(db/stream/SpannerChangeStreamService.java:97); a log replay has no
+"result set end", so the marker is log-encoded as
+``{"partition_end_record": {"end_timestamp": ...}}``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_connector_spanner_spark.sources.event_schema import (
+    CHILD_PARTITIONS,
+    DATA_CHANGE,
+    HEARTBEAT,
+    PARTITION_END,
+)
+
+# On-disk PG-wire log: the token + commit_ts columns mirror the query
+# context (partition being streamed) and result-set timestamp metadata —
+# they exist for partition/row-group pruning, not as record content.
+PG_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_token", T.StringType()),
+        T.StructField("commit_ts", T.TimestampType()),
+        T.StructField("record_json", T.StringType()),
+    ]
+)
+
+
+def _vs(v: F.Column, path: str, typ: str = "string") -> F.Column:
+    return F.try_variant_get(v, path, typ)
+
+
+def _vjson(v: F.Column, path: str) -> F.Column:
+    """Extract a nested JSON value and re-serialize it as canonical JSON
+    text; a JSON null (or absent key) becomes SQL NULL — matching the
+    struct-wire Mod semantics (new_values null on DELETE)."""
+    return F.nullif(F.to_json(_vs(v, path, "variant")), F.lit("null"))
+
+
+def decode_pg_json(log: DataFrame) -> DataFrame:
+    """PG-JSON wire log -> canonical EVENT_LOG_SCHEMA DataFrame."""
+    v = F.parse_json(F.col("record_json"))
+    dc = _vs(v, "$.data_change_record", "variant")
+    hb = _vs(v, "$.heartbeat_record", "variant")
+    cp = _vs(v, "$.child_partitions_record", "variant")
+    pe = _vs(v, "$.partition_end_record", "variant")
+
+    record_type = (
+        F.when(dc.isNotNull(), F.lit(DATA_CHANGE))
+        .when(hb.isNotNull(), F.lit(HEARTBEAT))
+        .when(cp.isNotNull(), F.lit(CHILD_PARTITIONS))
+        .when(pe.isNotNull(), F.lit(PARTITION_END))
+    )
+
+    mods = F.transform(
+        _vs(dc, "$.mods", "array<variant>"),
+        lambda m: F.struct(
+            _vjson(m, "$.keys").alias("keys"),
+            _vjson(m, "$.new_values").alias("new_values"),
+            _vjson(m, "$.old_values").alias("old_values"),
+        ),
+    )
+    child_partitions = F.transform(
+        _vs(cp, "$.child_partitions", "array<variant>"),
+        lambda c: F.struct(
+            _vs(c, "$.token").alias("token"),
+            _vs(c, "$.parent_partition_tokens", "array<string>").alias(
+                "parent_partition_tokens"
+            ),
+        ),
+    )
+
+    return log.select(
+        record_type.alias("record_type"),
+        F.col("partition_token"),
+        F.col("commit_ts"),
+        F.coalesce(
+            _vs(dc, "$.record_sequence"), _vs(cp, "$.record_sequence")
+        ).alias("record_sequence"),
+        _vs(dc, "$.server_transaction_id").alias("server_txn_id"),
+        _vs(dc, "$.is_last_record_in_transaction_in_partition", "boolean").alias(
+            "is_last_in_txn_in_partition"
+        ),
+        _vs(dc, "$.table_name").alias("table_name"),
+        F.to_json(_vs(dc, "$.column_types", "variant")).alias("column_types"),
+        mods.alias("mods"),
+        _vs(dc, "$.mod_type").alias("mod_type"),
+        _vs(dc, "$.value_capture_type").alias("value_capture_type"),
+        _vs(dc, "$.number_of_records_in_transaction", "bigint").alias(
+            "number_of_records_in_transaction"
+        ),
+        _vs(dc, "$.number_of_partitions_in_transaction", "bigint").alias(
+            "number_of_partitions_in_transaction"
+        ),
+        _vs(dc, "$.transaction_tag").alias("transaction_tag"),
+        _vs(dc, "$.is_system_transaction", "boolean").alias("is_system_transaction"),
+        child_partitions.alias("child_partitions"),
+    )

@@ -33,9 +33,10 @@ machine. Per batch (reference parity in parentheses, files under
    SchemaMerger.java:24-53): distinct (table, column_types) observed in
    the batch are merged additively per table (union of columns, new wins
    per column; INT64->FLOAT64 widening) and applied to that table's sink.
-8. **Batch sizing**: with ``max_events_per_batch`` set, the window is
-   bisected until the probe count fits — batch cost stays bounded as the
-   input grows 100x instead of scaling linearly with fixed n_batches.
+8. **Batch sizing**: with ``max_events_per_batch`` set, windows are sized
+   from a checkpointed events/µs rate model (probe-count bisection only on
+   cold start) — batch cost stays bounded as the input grows 100x instead
+   of scaling linearly with fixed n_batches, at zero steady-state probes.
 """
 
 from __future__ import annotations
@@ -129,11 +130,38 @@ class CdcReplayEngine:
         sink_mode: str = "mor",
         compact_every: int = 6,
         compact_mode: str = "async",  # 'async' (maintenance lane) | 'sync'
-        skew_mode: str = "fused",  # 'fused' (1 shuffle) | 'salted' (hot keys)
+        # 'adaptive' (default): per batch per table, pick the fused
+        # single-shuffle fold unless the previous batch OBSERVED a hot key
+        # (one key-hash cell holding >= skew_threshold of the records), in
+        # which case the two-phase salted fold runs — the measured
+        # crossover (BENCH_SCALING.md skew table: salted wins at ~79% on
+        # one key, loses at ~49%) sits around 2/3. 'fused' / 'salted'
+        # pin the strategy. Reference parity: dynamic load rebalancing,
+        # task/leader/rebalancer/TaskPartitionEqualSharingRebalancer.java:40-80.
+        skew_mode: str = "adaptive",
+        skew_threshold: float = 0.6,
         table_include: str | None = None,
         table_exclude: str | None = None,
         max_events_per_batch: int | None = None,
         stuck_policy: str = "metric",  # 'metric' | 'requery' | 'fail'
+        # metadata GC (O13 for FILES): every gc_every batches, expire
+        # table snapshots + engine checkpoints older than the last
+        # gc_keep committed ones and remove data files only they
+        # referenced (incl. rollback orphans + pre-compaction deltas).
+        # gc_keep >= 2 guarantees the resume target always survives a
+        # crash with the newest checkpoint write still in flight.
+        gc_every: int = 8,
+        gc_keep: int = 4,
+        # D1/D2 wire shape: 'struct' (canonical columnar log) or 'pg_json'
+        # (PostgreSQL-dialect one-JSON-document-per-record log under
+        # events_pg/, decoded via sources/pg_json.py). Everything past the
+        # wire decode is format-independent.
+        wire_format: str = "struct",
+        # auto-bucket scaling: after a compaction, if avg base bytes per
+        # bucket exceeds this, double n_buckets via the metadata-only
+        # grow_buckets renumbering (sources/lake.py). None = fixed count.
+        # On a cluster target ~256-512MB; tests use tiny values.
+        grow_bucket_bytes: int | None = None,
     ):
         self.spark = spark
         self.events_path = events_path
@@ -154,9 +182,18 @@ class CdcReplayEngine:
         self._ckpt_pool = None
         self._ckpt_future = None
         self.skew_mode = skew_mode
+        self.skew_threshold = skew_threshold
+        # adaptive-skew state: per-table max key-hash-cell share observed
+        # in the LAST batch (drives this batch's fused-vs-salted choice,
+        # one-batch reaction lag like the reference's rebalancer)
+        self._hot_share: dict[str, float] = {}
         self.table_include = table_include
         self.table_exclude = table_exclude
         self.max_events_per_batch = max_events_per_batch
+        self.gc_every = gc_every
+        self.gc_keep = max(2, gc_keep)
+        self.wire_format = wire_format
+        self.grow_bucket_bytes = grow_bucket_bytes
         # O7/O8 stuck-partition watchdog (PartitionQueryingMonitor.java:33-120,
         # FinishPartitionWatchDog): an active partition that emits nothing
         # (no data, no heartbeat) for max_stale_batches consecutive batches
@@ -234,6 +271,7 @@ class CdcReplayEngine:
                 )
             self.watermark_us = ckpt["watermark_us"]
             self._rate_ev_per_us = ckpt.get("rate_ev_per_us")
+            self._hot_share = ckpt.get("hot_share", {})
         self.metrics_path = os.path.join(checkpoint_dir, "metrics.jsonl")
 
     # ------------------------------------------------------------- layout
@@ -293,6 +331,7 @@ class CdcReplayEngine:
             "frontier_us": self.frontier_us,
             "watermark_us": self.watermark_us,
             "rate_ev_per_us": self._rate_ev_per_us,
+            "hot_share": self._hot_share,
             "tables": {
                 n: {
                     "schema_cols": st.schema.column_types_json(),
@@ -474,10 +513,24 @@ class CdcReplayEngine:
                 EVENT_LOG_SCHEMA,
             )
 
-            # pin the schema: no per-batch footer/partition inference
-            self._events_cached = self.spark.read.schema(EVENT_LOG_SCHEMA).parquet(
-                os.path.join(self.events_path, "events")
-            )
+            if self.wire_format == "pg_json":
+                from debezium_connector_spanner_spark.sources.pg_json import (
+                    PG_LOG_SCHEMA,
+                    decode_pg_json,
+                )
+
+                # same pruning layers: token dirs + commit_ts row-group
+                # stats push through the projection; the Variant decode
+                # runs post-filter on the pruned slice only
+                log = self.spark.read.schema(PG_LOG_SCHEMA).parquet(
+                    os.path.join(self.events_path, "events_pg")
+                )
+                self._events_cached = decode_pg_json(log)
+            else:
+                # pin the schema: no per-batch footer/partition inference
+                self._events_cached = self.spark.read.schema(EVENT_LOG_SCHEMA).parquet(
+                    os.path.join(self.events_path, "events")
+                )
         return self._events_cached
 
     def _active_scan(self, active: list[str], batch_end_us: int) -> DataFrame:
@@ -538,6 +591,7 @@ class CdcReplayEngine:
         lineage = []
         new_children: dict[str, list[str]] = {}
         finished: list[str] = []
+        salted_used: list[str] = []
         snapshot_ids = self._snapshot_ids()
 
         if scan is not None:
@@ -613,6 +667,19 @@ class CdcReplayEngine:
                 data_scan = cached
             prev_sids = dict(snapshot_ids)
             schemas_used = {n: st.schema for n, st in self.tables.items()}
+            # C3 adaptive skew: choose this batch's fold shape per table
+            # from the key-hash histogram the PREVIOUS batch observed
+            salted_tables = {
+                n: (
+                    self.skew_mode == "salted"
+                    or (
+                        self.skew_mode == "adaptive"
+                        and self._hot_share.get(n, 0.0) >= self.skew_threshold
+                    )
+                )
+                for n in self.tables
+            }
+            salted_used = sorted(n for n, v in salted_tables.items() if v)
             attempts: dict[str, tuple] = {}
             with ThreadPoolExecutor(max_workers=1 + len(self.tables)) as ex:
                 def _timed(fn, *a):
@@ -631,6 +698,7 @@ class CdcReplayEngine:
                         batch_id,
                         active,
                         0,
+                        salted_tables[n],
                     )
                     for n in self.tables
                     if self._table_allowed(n)
@@ -685,6 +753,7 @@ class CdcReplayEngine:
                         batch_id,
                         active,
                         attempt=1,
+                        use_salted=salted_tables[name],
                     )
                     timings["schema_retry_s"] = round(time.monotonic() - t_retry, 3)
                 snapshot_ids[name] = attempts[name][0]
@@ -717,6 +786,15 @@ class CdcReplayEngine:
                     continue
                 got = opt_obs.get
                 mods += got["_n_rec_total"]
+                if self.skew_mode == "adaptive" and got["_n_mods_total"]:
+                    self._hot_share[name] = round(
+                        max(
+                            got.get(f"_hk_{i}") or 0
+                            for i in range(self.SKEW_PROBE_CELLS)
+                        )
+                        / got["_n_mods_total"],
+                        4,
+                    )
                 for i, tok in enumerate(per_token):
                     if got[f"_n_{i}"]:
                         data_counts[tok] = data_counts.get(tok, 0) + got[f"_n_{i}"]
@@ -747,6 +825,9 @@ class CdcReplayEngine:
                             timings["compact_apply_s"] = round(
                                 time.monotonic() - t_stage, 3
                             )
+                            grown = self._maybe_grow(st, batch_id)
+                            if grown is not None:
+                                snapshot_ids[name] = grown
                     elif (
                         fut is None
                         and st.table.delta_depth() >= self.compact_every
@@ -761,6 +842,9 @@ class CdcReplayEngine:
                             timings["compact_s"] = round(
                                 time.monotonic() - t_stage, 3
                             )
+                            grown = self._maybe_grow(st, batch_id)
+                            if grown is not None:
+                                snapshot_ids[name] = grown
                         else:
                             self._compact_futures[name] = (
                                 self._pool("_maint_pool", "cdc-maint").submit(
@@ -849,6 +933,10 @@ class CdcReplayEngine:
         self._observe_rate(events, self.frontier_us, batch_end_us)
         self.frontier_us = max(self.frontier_us, batch_end_us)
         self._checkpoint(snapshot_ids)
+        if self.gc_every and batch_id > 0 and batch_id % self.gc_every == 0:
+            t_stage = time.monotonic()
+            self._gc_metadata(snapshot_ids)
+            timings["gc_s"] = round(time.monotonic() - t_stage, 3)
 
         wall = time.monotonic() - t0
         primary = next(iter(self.tables), None)
@@ -863,6 +951,8 @@ class CdcReplayEngine:
             "watermark_us": self.watermark_us,
             "stuck_tokens": stuck,
             "requeried_tokens": requeried,
+            "salted_tables": salted_used,
+            "hot_share": dict(self._hot_share),
             "snapshot_id": snapshot_ids.get(primary),
             "snapshot_ids": snapshot_ids,
             "wall_s": round(wall, 4),
@@ -874,6 +964,39 @@ class CdcReplayEngine:
             f.write(json.dumps(metric) + "\n")
         return metric
 
+    # key-hash histogram cells observed per merge for adaptive skew —
+    # coarse on purpose: a cell holding >=60% of a batch's mods implies a
+    # dominating key (cells are 1/16 of hash space; uniform keys put ~6%
+    # per cell), at the cost of 16 JVM-side sums riding the existing job
+    SKEW_PROBE_CELLS = 16
+
+    def _maybe_grow(self, st: TableState, batch_id: int) -> int | None:
+        """Auto-bucket scaling check, run right after a compaction (the
+        moment base sizes are authoritative)."""
+        if self.grow_bucket_bytes is None:
+            return None
+        t = st.table
+        if t.base_bytes() / t.n_buckets() <= self.grow_bucket_bytes:
+            return None
+        return t.grow_buckets(2, summary={"batch_id": batch_id})
+
+    def _gc_metadata(self, snapshot_ids: dict[str, int]) -> None:
+        """Bound engine checkpoints + table snapshots/files (see gc_every).
+        Deletes only state strictly older than the gc_keep horizon below
+        the just-committed ids, so resume (rollback to the latest DURABLE
+        checkpoint) is always satisfiable."""
+        names = sorted(
+            n
+            for n in os.listdir(self.checkpoint_dir)
+            if n.startswith("ckpt-") and n.endswith(".json")
+        )
+        for n in names[: -self.gc_keep]:
+            os.remove(os.path.join(self.checkpoint_dir, n))
+        for name, st in self.tables.items():
+            floor = snapshot_ids.get(name, 0) - self.gc_keep
+            if floor > 0:
+                st.table.expire_snapshots(floor)
+
     def _merge_attempt(
         self,
         scan: DataFrame,
@@ -882,6 +1005,7 @@ class CdcReplayEngine:
         batch_id: int,
         active: list[str],
         attempt: int,
+        use_salted: bool = False,
     ):
         """decode -> fold -> MERGE one table with per-token lineage
         Observation.
@@ -891,6 +1015,8 @@ class CdcReplayEngine:
         """
         from pyspark.sql import Observation
 
+        from debezium_connector_spanner_spark.sources.lake import bucket_expr
+
         table = self.tables[name].table
         decoded = decode_mods(scan, schema, use_pandas_udf=self.use_pandas_udf_decode)
         obs = Observation(f"batch-{batch_id}-{name}-a{attempt}")
@@ -899,6 +1025,16 @@ class CdcReplayEngine:
             F.count(F.lit(1)).alias("_n_mods_total"),
             F.sum(F.when(is_rec, 1).otherwise(0)).alias("_n_rec_total"),
         ]
+        if self.skew_mode == "adaptive":
+            # materialize the key-hash cell ONCE per row; the 16 histogram
+            # sums then reduce to integer compares in the metrics collector
+            decoded = decoded.withColumn(
+                "_skewcell", bucket_expr(schema.key_columns, self.SKEW_PROBE_CELLS)
+            )
+            for i in range(self.SKEW_PROBE_CELLS):
+                obs_aggs.append(
+                    F.sum((F.col("_skewcell") == i).cast("long")).alias(f"_hk_{i}")
+                )
         # per-token lineage rides along when the active set is small;
         # beyond the cap only global counters are observed
         per_token = active if len(active) <= 64 else []
@@ -908,7 +1044,7 @@ class CdcReplayEngine:
             obs_aggs.append(F.max(F.when(cond, F.col("seq.ts"))).alias(f"_ts_{i}"))
         decoded = decoded.observe(obs, *obs_aggs)
 
-        if self.skew_mode == "salted":
+        if use_salted:
             from debezium_connector_spanner_spark.operators.merge import (
                 fold_changes_salted,
             )

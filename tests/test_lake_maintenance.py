@@ -145,3 +145,134 @@ def test_rate_sized_batches_match_oracle(spark, tmp_root):
     )
     want = fold_final_state(fx).sort_values(["repo", "path"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_adaptive_skew_auto_selects_salted(spark, tmp_root):
+    """C3 adaptive skew: with one mega-key dominating the stream, the
+    engine must flip that table's fold to the salted two-phase shape from
+    the observed key-hash histogram (one-batch reaction lag) — no operator
+    flag — and still match the oracle exactly."""
+    cfg = GeneratorConfig(
+        n_repos=4, paths_per_repo=3, events_per_key_mean=3, hot_key_events=800
+    )
+    fx = os.path.join(tmp_root, "fx")
+    write_fixture(fx, cfg)
+    eng = CdcReplayEngine(
+        spark,
+        fx,
+        os.path.join(tmp_root, "t"),
+        os.path.join(tmp_root, "c"),
+        start_us=EPOCH_MICROS,
+        end_us=EPOCH_MICROS + cfg.duration_s * 1_000_000,
+        n_batches=4,
+        initial_schema=REPOS_SCHEMA_V1,
+        base_df=spark.read.parquet(os.path.join(fx, "base_repos.parquet")),
+        n_buckets=4,
+        skew_mode="adaptive",
+    )
+    eng.run()
+    ms = eng.metrics()
+    # cold start is fused (nothing observed yet)...
+    assert ms[0]["salted_tables"] == []
+    # ...then the histogram flags the hot key and flips the fold
+    assert any(m["salted_tables"] == ["repos"] for m in ms[1:])
+    assert max(m["hot_share"].get("repos", 0) for m in ms) >= 0.6
+    got = (
+        eng.final_state().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want = fold_final_state(fx).sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_metadata_gc_bounds_files_and_resumes(spark, tmp_root):
+    """O13 for files: snapshots, checkpoints and dead data files must stay
+    BOUNDED over a long replay with compaction (no O(batches) metadata
+    growth), and resume-from-checkpoint must still be exact after GC."""
+    cfg = GeneratorConfig(n_repos=6, paths_per_repo=4, hot_repos=1, events_per_key_mean=6)
+    fx = os.path.join(tmp_root, "fx")
+    write_fixture(fx, cfg)
+
+    def mk():
+        tbl = os.path.join(tmp_root, "tbl")
+        return CdcReplayEngine(
+            spark,
+            fx,
+            tbl,
+            os.path.join(tmp_root, "ckpt"),
+            start_us=EPOCH_MICROS,
+            end_us=EPOCH_MICROS + cfg.duration_s * 1_000_000,
+            n_batches=18,
+            initial_schema=REPOS_SCHEMA_V1,
+            base_df=(
+                spark.read.parquet(os.path.join(fx, "base_repos.parquet"))
+                if not os.path.exists(tbl)
+                else None
+            ),
+            n_buckets=4,
+            compact_every=3,
+            gc_every=4,
+            gc_keep=3,
+        )
+
+    eng1 = mk()
+    eng1.run(max_batches=10)
+    eng = mk()  # resume AFTER gc already ran
+    eng.run()
+
+    meta = os.listdir(os.path.join(tmp_root, "tbl", "_meta"))
+    snaps = [f for f in meta if f.startswith("snap-")]
+    # keep horizon (3) + commits since the last gc tick (< gc_every + drain)
+    assert len(snaps) <= 10, snaps
+    ckpts = [f for f in os.listdir(os.path.join(tmp_root, "ckpt")) if f.startswith("ckpt-")]
+    assert len(ckpts) <= 10, ckpts
+    # without GC this replay leaves O(n_batches x buckets) dead files
+    # (~80+); with GC the on-disk set tracks the retained snapshots only
+    assert eng.table.data_file_count() <= 48
+    got = (
+        eng.final_state().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want = fold_final_state(fx).sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_bucket_growth_metadata_only(spark, tmp_root):
+    """Auto-bucket scaling: when avg base bytes/bucket exceeds the target,
+    the engine doubles n_buckets via a METADATA-ONLY renumbering (no data
+    rewrite); legacy files are filtered by key hash on subset reads, new
+    writes/compactions use the new count, and state stays exact."""
+    cfg = GeneratorConfig(n_repos=8, paths_per_repo=5, hot_repos=2, events_per_key_mean=5)
+    fx = os.path.join(tmp_root, "fx")
+    write_fixture(fx, cfg)
+    eng = CdcReplayEngine(
+        spark,
+        fx,
+        os.path.join(tmp_root, "tbl"),
+        os.path.join(tmp_root, "ckpt"),
+        start_us=EPOCH_MICROS,
+        end_us=EPOCH_MICROS + cfg.duration_s * 1_000_000,
+        n_batches=8,
+        initial_schema=REPOS_SCHEMA_V1,
+        base_df=spark.read.parquet(os.path.join(fx, "base_repos.parquet")),
+        n_buckets=2,
+        compact_every=2,
+        compact_mode="sync",
+        grow_bucket_bytes=1,  # tiny target -> growth triggers immediately
+    )
+    eng.run()
+    t = eng.table
+    assert t.n_buckets() > 2
+    ops = [
+        t.snapshot(i).get("summary", {}).get("op")
+        for i in range(max(0, t.current_snapshot_id() - 6), t.current_snapshot_id() + 1)
+        if os.path.exists(t._snap_path(i))
+    ]
+    assert "grow_buckets" in ops or t.n_buckets() == 4
+    got = (
+        eng.final_state().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want = fold_final_state(fx).sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # subset reads partition the key space exactly (legacy files filtered)
+    n = t.n_buckets()
+    per = [t.read(buckets=[b]).count() for b in range(n)]
+    assert sum(per) == t.read().count()

@@ -39,6 +39,9 @@ TYPES_PROBE = TableSchema(
         ColumnSpec("numericcol", "NUMERIC", ordinal_position=10),
         ColumnSpec("jsoncol", "JSON", ordinal_position=11),
         ColumnSpec("arrcol", "ARRAY", array_element_type="STRING", ordinal_position=12),
+        ColumnSpec("tokenlistcol", "TOKENLIST", ordinal_position=13),
+        ColumnSpec("uuidcol", "UUID", ordinal_position=14),
+        ColumnSpec("arrbytescol", "ARRAY", array_element_type="BYTES", ordinal_position=15),
     ),
 )
 
@@ -56,6 +59,9 @@ def _event_row():
         "numericcol": "6.023",  # decimal-as-string
         "jsoncol": '{"a": 1}',
         "arrcol": ["x", None, "z"],  # elements nullable
+        "tokenlistcol": "tok_a tok_b",  # opaque Connect STRING
+        "uuidcol": "0f8fad5b-d9cb-469f-a165-70867728950e",
+        "arrbytescol": [base64.b64encode(b"\x00\x01").decode(), None],
     }
     return {
         "record_type": "data_change",
@@ -104,6 +110,10 @@ def test_datatypes_golden(spark):
     assert v["jsoncol"] == '{"a": 1}'
     assert bytes(v["bytescol"]) == b"\x01\x02ff"
     assert list(v["arrcol"]) == ["x", None, "z"]
+    assert v["tokenlistcol"] == "tok_a tok_b"
+    assert v["uuidcol"] == "0f8fad5b-d9cb-469f-a165-70867728950e"
+    ab = [None if x is None else bytes(x) for x in v["arrbytescol"]]
+    assert ab == [b"\x00\x01", None]
 
 
 def test_table_filter(spark):

@@ -92,9 +92,9 @@ def main():
     m = write_fixture(fx, cfg)
     print(f"fixture: {m['events']} events ({hot} on the hot key)")
 
-    results = {"fused": [], "salted": []}
+    results = {"fused": [], "salted": [], "adaptive": []}
     for _ in range(reps):
-        for mode in ("fused", "salted"):
+        for mode in ("fused", "salted", "adaptive"):
             r = run_mode(fx, mode, par, cfg.duration_s)
             results[mode].append(r)
             print(f"{mode:7s} wall={r['wall_s']}s tput={r['events_per_sec']}/s rows={r['final_rows']}")
@@ -106,7 +106,9 @@ def main():
         "parallelism": par,
         "fused_best_tput": best["fused"],
         "salted_best_tput": best["salted"],
+        "adaptive_best_tput": best["adaptive"],
         "salted_speedup": round(best["salted"] / best["fused"], 3),
+        "adaptive_speedup": round(best["adaptive"] / best["fused"], 3),
         "runs": results,
     }
     print(json.dumps(summary))
@@ -115,7 +117,8 @@ def main():
         f.write(
             f"\n| {m['events']} events, {hot} on one key "
             f"(~{100 * hot // m['events']}%), local[{par}] | {best['fused']:.0f} "
-            f"| {best['salted']:.0f} | {best['salted']/best['fused']:.2f} |"
+            f"| {best['salted']:.0f} | {best['salted']/best['fused']:.2f} "
+            f"| {best['adaptive']:.0f} ({best['adaptive']/best['fused']:.2f}x) |"
         )
 
 
