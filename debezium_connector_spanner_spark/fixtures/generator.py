@@ -954,3 +954,46 @@ def write_pg_json_log(fx_dir: str, force: bool = False) -> str:
             row_group_size=16384,
         )
     return out_root
+
+
+def write_proto_log(fx_dir: str, force: bool = False) -> str:
+    """Derive the proto-wire log from a canonical fixture: each change
+    record re-encoded as ONE serialized proto3 ChangeStreamRecord
+    (sources/proto_wire.py holds the message layout; reference demux
+    /root/reference db/mapper/ChangeStreamRecordMapper.java:482-494).
+    Written beside the canonical log as
+    ``events_proto/partition_token=<tok>/part-0.parquet`` with
+    (commit_ts, record_bytes) — same token-dir + ts-sorted layout, so the
+    engine's three-layer scan pruning is format-independent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_connector_spanner_spark.sources.proto_wire import encode_record
+
+    out_root = os.path.join(fx_dir, "events_proto")
+    if os.path.exists(out_root) and not force:
+        return out_root
+    ev_root = os.path.join(fx_dir, "events")
+    for d in sorted(os.listdir(ev_root)):
+        if not d.startswith("partition_token="):
+            continue
+        pdf = pq.read_table(os.path.join(ev_root, d)).to_pandas()
+        blobs = []
+        for r in pdf.to_dict("records"):
+            r["commit_ts_us"] = r["commit_ts"].value // 1000
+            blobs.append(encode_record(r))
+        out_d = os.path.join(out_root, d)
+        os.makedirs(out_d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "commit_ts": pa.array(
+                        pdf["commit_ts"], type=pa.timestamp("us", tz="UTC")
+                    ),
+                    "record_bytes": pa.array(blobs, type=pa.binary()),
+                }
+            ),
+            os.path.join(out_d, "part-0.parquet"),
+            row_group_size=16384,
+        )
+    return out_root

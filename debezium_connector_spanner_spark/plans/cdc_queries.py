@@ -131,6 +131,49 @@ def q_cdc_final_state_pg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def replayed_engine_proto(spark: SparkSession, sf_dir: str) -> CdcReplayEngine:
+    """Same replay, proto wire format: the log is re-encoded as one
+    serialized proto3 ChangeStreamRecord per row (events_proto/, derived
+    deterministically from the canonical fixture) and decoded via
+    sources/proto_wire.py. The DuckDB oracle still reads the CANONICAL
+    log — a hash match proves the third wire decode end-to-end."""
+    from debezium_connector_spanner_spark.fixtures.generator import write_proto_log
+
+    fx = ensure_fixture(sf_dir)
+    write_proto_log(fx)
+    root = os.path.join(fx, f"run-proto-v{RUN_FORMAT}")
+    cfg = fixture_config_for_sf(sf_dir)
+    fresh = not os.path.exists(os.path.join(root, "table"))
+    base = spark.read.parquet(os.path.join(fx, "base_repos.parquet"))
+    eng = CdcReplayEngine(
+        spark,
+        fx,
+        os.path.join(root, "table"),
+        os.path.join(root, "ckpt"),
+        start_us=EPOCH_MICROS,
+        end_us=EPOCH_MICROS + cfg.duration_s * 1_000_000,
+        n_batches=N_BATCHES,
+        tables={"repos": (REPOS_SCHEMA_V1, base if fresh else None)},
+        n_buckets=16,
+        wire_format="proto",
+        table_include="^repos$",  # proto log carries both tables; route repos
+    )
+    eng.run()
+    return eng
+
+
+def q_cdc_final_state_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = replayed_engine_proto(spark, sf_dir)
+    return eng.final_state("repos").select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
+
+
 # --------------------------------------------------------------- queries
 def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = replayed_engine(spark, sf_dir)
@@ -658,6 +701,7 @@ CDC_QUERIES = {
     "cdc_watermark_trace": q_cdc_watermark_trace,
     "cdc_final_state_evolved": q_cdc_final_state_evolved,
     "cdc_final_state_pg": q_cdc_final_state_pg,
+    "cdc_final_state_proto": q_cdc_final_state_proto,
 }
 
 
@@ -672,8 +716,10 @@ def cdc_oracles(sf_name: str = "sf0.01") -> dict[str, str]:
         "cdc_types_final_state": sql_cdc_types_final_state(fx),
         "cdc_multi_table_stats": sql_cdc_multi_table_stats(fx),
         "cdc_final_state_evolved": sql_cdc_final_state_evolved(_fx_path(sf_name, evo=True)),
-        # pg wire replay vs the SAME canonical-log oracle (D1 2nd dialect)
+        # pg/proto wire replays vs the SAME canonical-log oracle (D1
+        # second + third dialects)
         "cdc_final_state_pg": sql_cdc_final_state(_fx_path(sf_name)),
+        "cdc_final_state_proto": sql_cdc_final_state(_fx_path(sf_name)),
         # batch-loop re-simulation (gate/offset/watermark/drain) in SQL
         "cdc_watermark_trace": sql_cdc_watermark_trace(fx, sf_name),
     }

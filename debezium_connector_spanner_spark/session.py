@@ -49,6 +49,14 @@ def get_spark(
         # local[32] 159s -> 88s on the 4M-event replay). On a real cluster
         # with TB shuffles, raise this back toward 64MB.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        # FAIR pools: ingest (weight 8) vs maint (weight 1) — the async
+        # compaction lane backfills ingest's stage-tail idle cores rather
+        # than fighting the batch jobs for slots (see fair_pools.xml)
+        .config("spark.scheduler.mode", "FAIR")
+        .config(
+            "spark.scheduler.allocation.file",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "fair_pools.xml"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: the driver JVM hosts all executor threads. Measured

@@ -1,0 +1,360 @@
+"""Proto wire format: length-delimited proto3 change records (D1/D2).
+
+The reference decodes three wire shapes; this is the protobuf one, where
+each change-stream record arrives as one serialized proto3 message
+(/root/reference db/mapper/ChangeStreamRecordMapper.java:482-494 for the
+proto demux; db/model/event/PartitionStartEvent.java /
+PartitionEventRecord.java / PartitionEndEvent.java for the partition
+lifecycle records; enums mirror db/model/ModType.java:10-16 and
+db/model/ValueCaptureType.java:12-18).
+
+Message layout (standard proto3 wire encoding — varint / len-delimited):
+
+    ChangeStreamRecord (oneof record):
+      1  DataChangeRecord      2  HeartbeatRecord
+      3  ChildPartitionsRecord 4  PartitionEndRecord
+
+    DataChangeRecord:
+      1  commit_timestamp  (google.protobuf.Timestamp: 1=seconds 2=nanos)
+      2  record_sequence   (string)
+      3  server_transaction_id (string)
+      4  is_last_record_in_transaction_in_partition (bool)
+      5  table             (string)
+      6  column_types      (repeated ColumnType:
+                             1=name 2=type_json 3=is_primary_key
+                             4=ordinal_position)
+      7  mods              (repeated Mod: 1=keys 2=new_values
+                             3=old_values — JSON strings, exactly the
+                             shape Spanner's proto carries)
+      8  mod_type          (enum: INSERT=1 UPDATE=2 DELETE=3)
+      9  value_capture_type(enum: OLD_AND_NEW_VALUES=1 NEW_ROW=2
+                             NEW_VALUES=3 NEW_ROW_AND_OLD_VALUES=4)
+      10 number_of_records_in_transaction     (int64)
+      11 number_of_partitions_in_transaction  (int64)
+      12 transaction_tag   (string)
+      13 is_system_transaction (bool)
+
+    HeartbeatRecord:        1 timestamp (Timestamp)
+    ChildPartitionsRecord:  1 start_timestamp (Timestamp)
+                            2 record_sequence (string)
+                            3 repeated ChildPartition
+                                (1=token 2=repeated parent tokens)
+    PartitionEndRecord:     1 end_timestamp (Timestamp)
+
+proto3 presence rules apply: default-valued scalars (false, 0, "") are
+omitted on the wire and restored at decode; a DELETE's absent new_values
+decodes to NULL (message-typed oneof fields have true presence).
+
+Execution note — the decode is an Arrow-batched ``mapInPandas`` kernel
+(pure-Python varint parser, no per-row Python UDF overhead beyond the
+batch loop). On a real cluster this column would be decoded JVM-side with
+``from_protobuf`` from the spark-protobuf module; that jar is not in this
+container, so the vectorized-Python fallback stands in. The wire bytes
+themselves are standard proto3 and would decode unchanged. Everything
+past the wire decode is format-independent: the output is
+EVENT_LOG_SCHEMA-shaped, so the engine (DAG gate, LWW fold, MERGE,
+schema registry) runs unchanged on any of the three dialects.
+
+Same documented deviation as the PG dialect: the reference synthesizes
+the end-of-partition event client-side when the TVF result set drains
+(db/stream/SpannerChangeStreamService.java:97); a log replay has no
+"result set end", so the marker is log-encoded as PartitionEndRecord.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from debezium_connector_spanner_spark.sources.event_schema import (
+    CHILD_PARTITIONS,
+    DATA_CHANGE,
+    EVENT_LOG_SCHEMA,
+    HEARTBEAT,
+    PARTITION_END,
+)
+
+# On-disk proto-wire log: token + commit_ts columns mirror the query
+# context / result-set metadata and exist for partition/row-group pruning
+# (same layout contract as events/ and events_pg/).
+PROTO_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_token", T.StringType()),
+        T.StructField("commit_ts", T.TimestampType()),
+        T.StructField("record_bytes", T.BinaryType()),
+    ]
+)
+
+MOD_TYPE_ENUM = {"INSERT": 1, "UPDATE": 2, "DELETE": 3}
+MOD_TYPE_NAME = {v: k for k, v in MOD_TYPE_ENUM.items()}
+VCT_ENUM = {
+    "OLD_AND_NEW_VALUES": 1,
+    "NEW_ROW": 2,
+    "NEW_VALUES": 3,
+    "NEW_ROW_AND_OLD_VALUES": 4,
+}
+VCT_NAME = {v: k for k, v in VCT_ENUM.items()}
+
+
+# ------------------------------------------------------------- encoding
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _field_varint(field: int, n: int) -> bytes:
+    # proto3: default (0 / false) is not emitted
+    if not n:
+        return b""
+    return _varint(field << 3) + _varint(int(n))
+
+
+def _field_len(field: int, payload: bytes) -> bytes:
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _field_str(field: int, s: str | None) -> bytes:
+    # proto3: "" (and None, for optional-string semantics) not emitted
+    if not s:
+        return b""
+    return _field_len(field, s.encode("utf-8"))
+
+
+def _ts_message(field: int, us: int) -> bytes:
+    secs, rem = divmod(int(us), 1_000_000)
+    body = _field_varint(1, secs) + _field_varint(2, rem * 1000)
+    return _field_len(field, body)
+
+
+def encode_record(r: dict) -> bytes:
+    """One canonical-log record (dict of EVENT_LOG_SCHEMA fields, with
+    commit_ts already in epoch micros) -> serialized ChangeStreamRecord."""
+    rt = r["record_type"]
+    if rt == DATA_CHANGE:
+        body = _ts_message(1, r["commit_ts_us"])
+        body += _field_str(2, r["record_sequence"])
+        body += _field_str(3, r["server_txn_id"])
+        body += _field_varint(4, bool(r["is_last_in_txn_in_partition"]))
+        body += _field_str(5, r["table_name"])
+        for c in json.loads(r["column_types"]):
+            ct = _field_str(1, c["name"])
+            ct += _field_str(2, json.dumps(c["type"], sort_keys=True))
+            ct += _field_varint(3, bool(c.get("is_primary_key")))
+            ct += _field_varint(4, int(c.get("ordinal_position", 0)))
+            body += _field_len(6, ct)
+        for m in r["mods"]:
+            mod = _field_str(1, m["keys"])
+            mod += _field_str(2, m["new_values"])
+            mod += _field_str(3, m["old_values"])
+            body += _field_len(7, mod)
+        body += _field_varint(8, MOD_TYPE_ENUM[r["mod_type"]])
+        body += _field_varint(9, VCT_ENUM[r["value_capture_type"]])
+        body += _field_varint(10, int(r["number_of_records_in_transaction"]))
+        body += _field_varint(11, int(r["number_of_partitions_in_transaction"]))
+        body += _field_str(12, r["transaction_tag"])
+        body += _field_varint(13, bool(r["is_system_transaction"]))
+        return _field_len(1, body)
+    if rt == HEARTBEAT:
+        return _field_len(2, _ts_message(1, r["commit_ts_us"]))
+    if rt == CHILD_PARTITIONS:
+        body = _ts_message(1, r["commit_ts_us"])
+        body += _field_str(2, r["record_sequence"] or "0")
+        for c in r["child_partitions"] or []:
+            cp = _field_str(1, c["token"])
+            for p in c["parent_partition_tokens"]:
+                cp += _field_str(2, p)
+            body += _field_len(3, cp)
+        return _field_len(3, body)
+    return _field_len(4, _ts_message(1, r["commit_ts_us"]))  # PARTITION_END
+
+
+# ------------------------------------------------------------- decoding
+def _parse_fields(buf: memoryview) -> Iterator[tuple[int, int | memoryview]]:
+    """Yield (field_number, value) pairs; varint values as int,
+    len-delimited values as memoryview slices."""
+    i, n = 0, len(buf)
+    while i < n:
+        key = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            key |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            yield field, v
+        elif wire == 2:
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            yield field, buf[i : i + ln]
+            i += ln
+        else:  # wire types 1/5 (fixed64/32) unused by this schema
+            raise ValueError(f"unexpected wire type {wire} for field {field}")
+
+
+def _s(v: memoryview) -> str:
+    return str(v, "utf-8")
+
+
+def _decode_data_change(buf: memoryview) -> dict:
+    out = {
+        "record_type": DATA_CHANGE,
+        "record_sequence": None,
+        "server_txn_id": None,
+        "is_last_in_txn_in_partition": False,
+        "table_name": None,
+        "mods": [],
+        "mod_type": None,
+        "value_capture_type": None,
+        "number_of_records_in_transaction": 0,
+        "number_of_partitions_in_transaction": 0,
+        "transaction_tag": "",
+        "is_system_transaction": False,
+        "child_partitions": None,
+    }
+    cols = []
+    for f, v in _parse_fields(buf):
+        if f == 2:
+            out["record_sequence"] = _s(v)
+        elif f == 3:
+            out["server_txn_id"] = _s(v)
+        elif f == 4:
+            out["is_last_in_txn_in_partition"] = bool(v)
+        elif f == 5:
+            out["table_name"] = _s(v)
+        elif f == 6:
+            c = {"name": None, "type": None, "is_primary_key": False, "ordinal_position": 0}
+            for cf, cv in _parse_fields(v):
+                if cf == 1:
+                    c["name"] = _s(cv)
+                elif cf == 2:
+                    c["type"] = json.loads(_s(cv))
+                elif cf == 3:
+                    c["is_primary_key"] = bool(cv)
+                elif cf == 4:
+                    c["ordinal_position"] = int(cv)
+            cols.append(c)
+        elif f == 7:
+            m = {"keys": None, "new_values": None, "old_values": None}
+            for mf, mv in _parse_fields(v):
+                if mf == 1:
+                    m["keys"] = _s(mv)
+                elif mf == 2:
+                    m["new_values"] = _s(mv)
+                elif mf == 3:
+                    m["old_values"] = _s(mv)
+            out["mods"].append(m)
+        elif f == 8:
+            out["mod_type"] = MOD_TYPE_NAME[v]
+        elif f == 9:
+            out["value_capture_type"] = VCT_NAME[v]
+        elif f == 10:
+            out["number_of_records_in_transaction"] = int(v)
+        elif f == 11:
+            out["number_of_partitions_in_transaction"] = int(v)
+        elif f == 12:
+            out["transaction_tag"] = _s(v)
+        elif f == 13:
+            out["is_system_transaction"] = bool(v)
+    out["column_types"] = json.dumps(cols, sort_keys=True)
+    return out
+
+
+_NON_DATA_DEFAULTS = {
+    "record_sequence": None,
+    "server_txn_id": None,
+    "is_last_in_txn_in_partition": None,
+    "table_name": None,
+    "column_types": None,
+    "mods": None,
+    "mod_type": None,
+    "value_capture_type": None,
+    "number_of_records_in_transaction": None,
+    "number_of_partitions_in_transaction": None,
+    "transaction_tag": None,
+    "is_system_transaction": None,
+    "child_partitions": None,
+}
+
+
+def _decode_child_partitions(buf: memoryview) -> dict:
+    out = dict(_NON_DATA_DEFAULTS, record_type=CHILD_PARTITIONS, child_partitions=[])
+    for f, v in _parse_fields(buf):
+        if f == 2:
+            out["record_sequence"] = _s(v)
+        elif f == 3:
+            cp = {"token": None, "parent_partition_tokens": []}
+            for cf, cv in _parse_fields(v):
+                if cf == 1:
+                    cp["token"] = _s(cv)
+                elif cf == 2:
+                    cp["parent_partition_tokens"].append(_s(cv))
+            out["child_partitions"].append(cp)
+    return out
+
+
+def decode_record(raw: bytes) -> dict:
+    """Serialized ChangeStreamRecord -> dict of EVENT_LOG_SCHEMA fields
+    (minus partition_token/commit_ts, which ride the log columns)."""
+    for f, v in _parse_fields(memoryview(raw)):
+        if f == 1:
+            return _decode_data_change(v)
+        if f == 2:
+            return dict(_NON_DATA_DEFAULTS, record_type=HEARTBEAT)
+        if f == 3:
+            return _decode_child_partitions(v)
+        if f == 4:
+            return dict(_NON_DATA_DEFAULTS, record_type=PARTITION_END)
+    raise ValueError("empty ChangeStreamRecord")
+
+
+_FIELDS = [f.name for f in EVENT_LOG_SCHEMA.fields]
+
+
+def decode_proto_wire(log: DataFrame) -> DataFrame:
+    """Proto wire log -> canonical EVENT_LOG_SCHEMA DataFrame.
+
+    The decode kernel runs AFTER the scan's token/commit_ts pruning (the
+    filters sit on plain log columns), so only the batch's pruned slice
+    pays the decode.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_record(raw) for raw in pdf["record_bytes"]]
+            out = pd.DataFrame.from_records(rows)
+            out["partition_token"] = pdf["partition_token"].values
+            out["commit_ts"] = pdf["commit_ts"].values
+            yield out[_FIELDS]
+
+    return log.mapInPandas(kernel, schema=EVENT_LOG_SCHEMA)

@@ -152,16 +152,26 @@ class CdcReplayEngine:
         # crash with the newest checkpoint write still in flight.
         gc_every: int = 8,
         gc_keep: int = 4,
-        # D1/D2 wire shape: 'struct' (canonical columnar log) or 'pg_json'
+        # D1/D2 wire shape: 'struct' (canonical columnar log), 'pg_json'
         # (PostgreSQL-dialect one-JSON-document-per-record log under
-        # events_pg/, decoded via sources/pg_json.py). Everything past the
-        # wire decode is format-independent.
+        # events_pg/, decoded via sources/pg_json.py), or 'proto'
+        # (serialized proto3 records under events_proto/, decoded via
+        # sources/proto_wire.py). Everything past the wire decode is
+        # format-independent.
         wire_format: str = "struct",
         # auto-bucket scaling: after a compaction, if avg base bytes per
         # bucket exceeds this, double n_buckets via the metadata-only
         # grow_buckets renumbering (sources/lake.py). None = fixed count.
         # On a cluster target ~256-512MB; tests use tiny values.
         grow_bucket_bytes: int | None = None,
+        # S1 scan pruning: above this many active tokens the literal
+        # IN-list predicate is skipped and token filtering rides the
+        # (already present) broadcast offsets equi-join — dynamic
+        # partition pruning then prunes token dirs at runtime instead of
+        # plan time. Literal IN-lists are faster to plan and prune
+        # statically at Spanner-scale token counts (hundreds) but blow up
+        # expression-tree size/analysis time at 10^5+ tokens.
+        token_inlist_max: int = 4096,
     ):
         self.spark = spark
         self.events_path = events_path
@@ -194,6 +204,7 @@ class CdcReplayEngine:
         self.gc_keep = max(2, gc_keep)
         self.wire_format = wire_format
         self.grow_bucket_bytes = grow_bucket_bytes
+        self.token_inlist_max = token_inlist_max
         # O7/O8 stuck-partition watchdog (PartitionQueryingMonitor.java:33-120,
         # FinishPartitionWatchDog): an active partition that emits nothing
         # (no data, no heartbeat) for max_stale_batches consecutive batches
@@ -299,6 +310,15 @@ class CdcReplayEngine:
             name = f.read().strip()
         with open(os.path.join(self.checkpoint_dir, name)) as f:
             return json.load(f)
+
+    def _maint_compact_prepare(self, table, base_sid):
+        # Runs on the maintenance-lane thread. That thread was spawned from
+        # the batch loop, so it INHERITED the 'ingest' scheduler pool
+        # (InheritableThreadLocal) — override to the low-weight 'maint'
+        # pool so the compaction fold backfills stage-tail idle cores
+        # instead of competing with batch jobs (see fair_pools.xml).
+        self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", "maint")
+        return table.compact_prepare(base_sid)
 
     def _pool(self, attr: str, prefix: str):
         pool = getattr(self, attr)
@@ -448,6 +468,10 @@ class CdcReplayEngine:
             self.close()
 
     def _run(self, max_batches: int | None = None) -> dict:
+        # batch jobs (ctrl + merges) run in the high-weight ingest pool;
+        # per-batch worker threads inherit this via InheritableThreadLocal.
+        # The maintenance lane overrides to 'maint' in its own thread.
+        self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", "ingest")
         done = 0
         totals = {"events": 0, "mods": 0, "wall_s": 0.0}
 
@@ -526,6 +550,18 @@ class CdcReplayEngine:
                     os.path.join(self.events_path, "events_pg")
                 )
                 self._events_cached = decode_pg_json(log)
+            elif self.wire_format == "proto":
+                from debezium_connector_spanner_spark.sources.proto_wire import (
+                    PROTO_LOG_SCHEMA,
+                    decode_proto_wire,
+                )
+
+                # same pruning layers; the Arrow-batched proto decode
+                # runs post-filter on the pruned slice only
+                log = self.spark.read.schema(PROTO_LOG_SCHEMA).parquet(
+                    os.path.join(self.events_path, "events_proto")
+                )
+                self._events_cached = decode_proto_wire(log)
             else:
                 # pin the schema: no per-batch footer/partition inference
                 self._events_cached = self.spark.read.schema(EVENT_LOG_SCHEMA).parquet(
@@ -551,11 +587,17 @@ class CdcReplayEngine:
         lo_us = min(
             (self.tokens[t].offset_us or self.tokens[t].start_us - 1) for t in active
         )
-        # NOTE at 10^5+ active tokens, swap the IN-list for a broadcast
-        # semi-join on the offsets table (same pruning via dynamic
-        # partition pruning); IN-list is fine for Spanner-scale token
-        # counts (hundreds)
-        ev = self._events_df().where(F.col("partition_token").isin(active))
+        # Token filter: a literal IN-list prunes token dirs at PLAN time
+        # and is the fast path for Spanner-scale token counts (hundreds).
+        # Past token_inlist_max the literal list itself becomes the cost
+        # (expression-tree size, analysis time), so filtering instead
+        # rides the broadcast offsets equi-join below — correctness is
+        # identical (inner join on partition_token keeps exactly the
+        # active tokens) and dynamic partition pruning recovers the dir
+        # pruning at runtime from the broadcast side.
+        ev = self._events_df()
+        if len(active) <= self.token_inlist_max:
+            ev = ev.where(F.col("partition_token").isin(active))
         ev = ev.where(
             (F.col("commit_ts") > F.timestamp_micros(F.lit(lo_us)))
             & (F.col("commit_ts") <= F.timestamp_micros(F.lit(batch_end_us)))
@@ -848,7 +890,8 @@ class CdcReplayEngine:
                         else:
                             self._compact_futures[name] = (
                                 self._pool("_maint_pool", "cdc-maint").submit(
-                                    st.table.compact_prepare,
+                                    self._maint_compact_prepare,
+                                    st.table,
                                     st.table.current_snapshot_id(),
                                 )
                             )

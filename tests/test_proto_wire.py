@@ -1,0 +1,148 @@
+"""Proto wire format (D1/D2 third decode shape).
+
+- encode_record/decode_record round-trip every record kind exactly
+  (proto3 default-omission restored, enums mapped, Timestamp micros)
+- decode_proto_wire(events_proto) must produce the SAME decoded mod rows
+  as the canonical struct-wire decode
+- a full replay over the proto log must reproduce the pandas oracle's
+  final state exactly (wire format is transparent to the engine)
+"""
+
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from debezium_connector_spanner_spark.fixtures.generator import (
+    EPOCH_MICROS,
+    GeneratorConfig,
+    write_fixture,
+    write_proto_log,
+)
+from debezium_connector_spanner_spark.fixtures.oracle import fold_final_state
+from debezium_connector_spanner_spark.operators.decode import decode_mods
+from debezium_connector_spanner_spark.sources.event_schema import (
+    EVENT_LOG_SCHEMA,
+    REPOS_SCHEMA_V1,
+)
+from debezium_connector_spanner_spark.sources.proto_wire import (
+    PROTO_LOG_SCHEMA,
+    decode_proto_wire,
+    decode_record,
+    encode_record,
+)
+from debezium_connector_spanner_spark.streaming.engine import CdcReplayEngine
+
+CFG = GeneratorConfig(n_repos=6, paths_per_repo=4, hot_repos=1, events_per_key_mean=4)
+
+
+def _fixture(tmp_root):
+    fx = os.path.join(tmp_root, "fx")
+    write_fixture(fx, CFG)
+    write_proto_log(fx)
+    return fx
+
+
+def test_record_roundtrip():
+    rec = {
+        "record_type": "data_change",
+        "commit_ts_us": 1_700_000_123_456_789,
+        "record_sequence": "10",
+        "server_txn_id": "txn-00000001-0002",
+        "is_last_in_txn_in_partition": True,
+        "table_name": "repos",
+        "column_types": (
+            '[{"is_primary_key": true, "name": "repo", "ordinal_position": 1,'
+            ' "type": {"code": "STRING"}}]'
+        ),
+        "mods": [
+            {"keys": '{"repo":"a"}', "new_values": '{"lang":null}', "old_values": None}
+        ],
+        "mod_type": "UPDATE",
+        "value_capture_type": "NEW_VALUES",
+        "number_of_records_in_transaction": 1,
+        "number_of_partitions_in_transaction": 1,
+        "transaction_tag": "",
+        "is_system_transaction": False,
+    }
+    got = decode_record(encode_record(rec))
+    for k, v in rec.items():
+        if k != "commit_ts_us":
+            assert got[k] == v, (k, got[k], v)
+
+    hb = decode_record(encode_record({"record_type": "heartbeat", "commit_ts_us": 1}))
+    assert hb["record_type"] == "heartbeat" and hb["mods"] is None
+
+    cp_rec = {
+        "record_type": "child_partitions",
+        "commit_ts_us": 5,
+        "record_sequence": "0",
+        "child_partitions": [
+            {"token": "t1", "parent_partition_tokens": ["p1", "p2"]},
+            {"token": "t2", "parent_partition_tokens": []},
+        ],
+    }
+    got_cp = decode_record(encode_record(cp_rec))
+    assert got_cp["record_type"] == "child_partitions"
+    assert got_cp["child_partitions"] == cp_rec["child_partitions"]
+
+    pe = decode_record(
+        encode_record({"record_type": "partition_end", "commit_ts_us": 9})
+    )
+    assert pe["record_type"] == "partition_end"
+
+
+def test_proto_decode_matches_struct_wire(spark, tmp_root):
+    fx = _fixture(tmp_root)
+    canon = spark.read.schema(EVENT_LOG_SCHEMA).parquet(os.path.join(fx, "events"))
+    proto = decode_proto_wire(
+        spark.read.schema(PROTO_LOG_SCHEMA).parquet(os.path.join(fx, "events_proto"))
+    )
+
+    def decoded_rows(events):
+        df = decode_mods(events, REPOS_SCHEMA_V1, include_old=True)
+        pdf = df.select(
+            "partition_token",
+            "record_sequence",
+            "server_txn_id",
+            "mod_number",
+            "op",
+            "repo",
+            "path",
+            F.col("vals.commit").alias("v_commit"),
+            F.col("vals.lang").alias("v_lang"),
+            F.col("vals.content").alias("v_content"),
+            F.col("olds.commit").alias("o_commit"),
+        ).toPandas()
+        return pdf.sort_values(pdf.columns.tolist()).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(decoded_rows(canon), decoded_rows(proto))
+    for rt in ("heartbeat", "child_partitions", "partition_end"):
+        assert (
+            canon.where(f"record_type = '{rt}'").count()
+            == proto.where(f"record_type = '{rt}'").count()
+        )
+
+
+def test_proto_replay_matches_oracle(spark, tmp_root):
+    fx = _fixture(tmp_root)
+    eng = CdcReplayEngine(
+        spark,
+        fx,
+        os.path.join(tmp_root, "t"),
+        os.path.join(tmp_root, "c"),
+        start_us=EPOCH_MICROS,
+        end_us=EPOCH_MICROS + CFG.duration_s * 1_000_000,
+        n_batches=5,
+        initial_schema=REPOS_SCHEMA_V1,
+        base_df=spark.read.parquet(os.path.join(fx, "base_repos.parquet")),
+        n_buckets=8,
+        wire_format="proto",
+    )
+    totals = eng.run()
+    assert totals["events"] > 0
+    got = (
+        eng.final_state().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want = fold_final_state(fx).sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)

@@ -197,3 +197,30 @@ def test_async_compaction_matches_sync(spark, tmp_root):
     ]
     assert any(s.get("op") == "compact" for s in summaries)
     assert eng_a.table.delta_depth() < 6
+
+
+def test_semijoin_token_filter_matches_inlist(spark, tmp_root):
+    """S1 at 10^5-token scale: with token_inlist_max=0 the literal IN-list
+    is skipped and token filtering rides the broadcast offsets equi-join
+    (dynamic partition pruning recovers the dir pruning). Final state must
+    be byte-identical to the IN-list plan, and the physical plan must not
+    contain the literal token list."""
+    fx = os.path.join(tmp_root, "fx")
+    write_fixture(fx, CFG)
+    eng = _mk_engine(spark, fx, tmp_root, token_inlist_max=0)
+    # plan check on the scan itself before running: the literal token
+    # IN-list is gone (tokens only reach the plan via the broadcast
+    # offsets table), the equi-join is present
+    active = eng._gate()
+    assert active
+    plan = eng._active_scan(active, eng.end_us)._jdf.queryExecution().toString()
+    assert f"IN ({active[0]}" not in plan and "BroadcastHashJoin" in plan
+
+    eng_ref = _mk_engine(spark, fx, os.path.join(tmp_root, "ref"))
+    plan_ref = (
+        eng_ref._active_scan(active, eng_ref.end_us)._jdf.queryExecution().toString()
+    )
+    assert f"IN ({active[0]}" in plan_ref  # default path still IN-list-prunes
+
+    eng.run()
+    _assert_matches_oracle(eng, fx)

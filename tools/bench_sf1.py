@@ -1,0 +1,75 @@
+"""sf1 scale-up proof point: one replay at ~41M change events (2.5x the
+16.4M scaling fixture, ~= the sf1 testdata scale) on local[32], with the
+rate-model batch sizing (`max_events_per_batch`) engaged.
+
+Purpose: evidence that the EMA batch sizing + MOR delta depth + bucket
+scaling hold an order of magnitude above the per-round sf0.1 bench
+(BASELINE.json design scale is 10^10 events; this is the largest rung the
+sandbox disk/wall-clock affords). Target: events/sec within 20% of the
+sf0.1 local[32] figure.
+
+    python tools/bench_sf1.py            # generate (one-time ~60 min) + run
+    python tools/bench_sf1.py --gen-only # just build the fixture
+
+Writes the result row to BENCH_SF1.json (read into bench.py extras).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from debezium_connector_spanner_spark.fixtures.generator import (
+    FIXTURE_ROOT,
+    GeneratorConfig,
+    write_fixture,
+)
+
+# ~41M events: 600k repos x 8 paths, mean 8 events/key (same event mix as
+# the scaling fixture, 2.5x the key space)
+SF1_CONFIG = GeneratorConfig(
+    n_repos=600000,
+    paths_per_repo=8,
+    hot_repos=6000,
+    events_per_key_mean=8,
+    duration_s=3600,
+    heartbeats_per_token=16,
+)
+
+
+def main() -> None:
+    fx = os.path.join(FIXTURE_ROOT, "bench-sf1")
+    t0 = time.time()
+    m = write_fixture(fx, SF1_CONFIG)
+    print(f"fixture ready in {time.time()-t0:.0f}s: {m['events']} events")
+    if "--gen-only" in sys.argv:
+        return
+
+    from bench import run_cdc_replay
+    from debezium_connector_spanner_spark.session import get_spark
+
+    par = int(os.environ.get("BENCH_PARALLELISM", "32"))
+    spark = get_spark(
+        app_name="cdc-bench-sf1",
+        master=f"local[{par}]",
+        shuffle_partitions=max(8, par),
+    )
+    os.environ["BENCH_FIXTURE"] = fx
+    # max_events_per_batch engaged: the 8 nominal boundaries re-split by
+    # the rate model into ~2.5M-event windows — the sizing path a 10^10
+    # replay would use (fold shuffle stays bounded regardless of input)
+    r = run_cdc_replay(spark, "sf1", 1.0, max_events_per_batch=2_500_000)
+    r["parallelism"] = par
+    r["fixture"] = "bench-sf1"
+    print(json.dumps(r))
+    with open(os.path.join(REPO, "BENCH_SF1.json"), "w") as f:
+        json.dump(r, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
