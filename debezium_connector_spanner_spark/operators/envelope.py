@@ -108,3 +108,42 @@ def to_envelope(
         source.alias("source"),
         F.unix_micros("commit_ts").alias("ts_us"),
     )
+
+
+def format_events(envelope: DataFrame, col_name: str = "event_str") -> DataFrame:
+    """D11 debug event formatter: envelope -> one human-readable string
+    per record (reference processor/metadata/EventFormatter.java:17-104).
+
+    Catalyst-native — concat/to_json inside whole-stage codegen, no UDF.
+    Segments appear only when present and are joined with ", "
+    (concat_ws skips nulls, which is exactly the reference's
+    addDelimiter/removeDelimiter dance); struct images render as JSON,
+    the Spark equivalent of SchemaUtil.asDetailedString's struct dump.
+    Logging/debug projection only — never on the data hot path.
+    """
+    position = F.concat(
+        F.lit("position: {partition_token: "),
+        F.col("source.partition_token"),
+        F.lit(", commit_timestamp_us: "),
+        F.col("source.commit_timestamp_us").cast("string"),
+        F.lit(", record_sequence: "),
+        F.col("source.record_sequence"),
+        F.lit("}"),
+    )
+    segments = [
+        F.concat(F.lit("operation: "), F.col("op")),
+        position,
+        F.when(
+            F.col("key").isNotNull(),
+            F.concat(F.lit("key: "), F.to_json(F.col("key"))),
+        ),
+        F.when(
+            F.col("before").isNotNull(),
+            F.concat(F.lit("before: "), F.to_json(F.col("before"))),
+        ),
+        F.when(
+            F.col("after").isNotNull(),
+            F.concat(F.lit("after: "), F.to_json(F.col("after"))),
+        ),
+    ]
+    return envelope.withColumn(col_name, F.concat_ws(", ", *segments))

@@ -97,3 +97,36 @@ def test_envelope_before_after_shape(spark, tmp_root):
         | ((F.col("op") != "d") & F.col("after").isNull())
     ).count()
     assert bad == 0
+
+
+def test_event_formatter(spark, tmp_root):
+    """D11 debug formatter (EventFormatter.java:17-104): operation +
+    position always present; before/after segments appear exactly when
+    the images do; nulls never leave dangling ', ' delimiters; the whole
+    projection stays codegen'd (no python UDF in the plan)."""
+    cfg = GeneratorConfig(n_repos=4, paths_per_repo=2, events_per_key_mean=4)
+    fx = os.path.join(tmp_root, "fx")
+    write_fixture(fx, cfg)
+    from debezium_connector_spanner_spark.operators.decode import decode_mods
+    from debezium_connector_spanner_spark.operators.envelope import (
+        format_events,
+        to_envelope,
+    )
+    from debezium_connector_spanner_spark.sources.event_schema import EVENT_LOG_SCHEMA
+
+    ev = (
+        spark.read.schema(EVENT_LOG_SCHEMA)
+        .parquet(os.path.join(fx, "events"))
+        .where(F.col("table_name") == "repos")
+    )
+    env = to_envelope(decode_mods(ev, REPOS_SCHEMA_V1, include_old=True))
+    fmt = format_events(env)
+    assert "BatchEvalPython" not in fmt._jdf.queryExecution().toString()
+    rows = fmt.select("op", "before", "after", "event_str").collect()
+    assert rows
+    for r in rows:
+        s = r["event_str"]
+        assert s.startswith(f"operation: {r['op']}, position: {{partition_token: ")
+        assert ("before: " in s) == (r["before"] is not None)
+        assert ("after: " in s) == (r["after"] is not None)
+        assert ", ," not in s and not s.endswith(", ")
