@@ -240,6 +240,86 @@ def cosine_topk_lsh(
     return _rescore_topk(cand, k, dedup_pairs=n_tables > 1)
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    max_hamming: int = 1,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: all pairs with
+    cosine >= threshold, found by an LSH bucket SELF-join — the embedding
+    leg of the dedup family (exact / Jaccard / MinHash / SimHash /
+    embedding-cosine).
+
+    Shape (the 100 TB path): every vector lands in one bucket per table
+    (right side, xL rows); the left side additionally probes its hamming
+    ball (sig XOR each <=max_hamming mask), so a pair surfaces iff some
+    table's signatures differ by <=max_hamming bits. Candidates come from
+    the (table, bucket) hash EQUI-JOIN with id_a < id_b — never an
+    all-pairs product. Exact cosine rescore on candidates only; pairs
+    dedup'd across tables before the threshold filter.
+
+    Near-dup vectors (cosine >= 0.9 => angle <= 26 deg) flip each sign
+    bit with p <= 0.14, so a (12-bit, hamming<=1, 4-table) probe finds
+    them with high probability while random pairs (p ~ 0.5/bit) almost
+    never collide. For cosine thresholds far below ~0.8 sign-LSH
+    degenerates — use the MinHash/Jaccard leg instead.
+    """
+    per_table = [hyperplanes(dim, n_planes, seed=11 + 97 * t) for t in range(n_tables)]
+    base = with_norm(corpus, vec_col)
+    sigs = F.array(*[lsh_signature(F.col(vec_col), p) for p in per_table])
+    keyed = base.select(
+        F.col(id_col).alias("_id"), "_v", "_norm", sigs.alias("_sigs")
+    )
+    right = keyed.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+        F.posexplode("_sigs").alias("_tbl", "_bucket"),
+    )
+    masks_arr = F.array(
+        *[F.lit(m).cast("long") for m in _probe_masks(n_planes, max_hamming)]
+    )
+    left = keyed.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_norm").alias("_na"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_sigs"),
+                    lambda s, t: F.transform(
+                        masks_arr,
+                        lambda m: F.struct(
+                            t.cast("int").alias("t"),
+                            s.bitwiseXOR(m).alias("s"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("_p"),
+    ).select(
+        "id_a", "_va", "_na",
+        F.col("_p.t").alias("_tbl"), F.col("_p.s").alias("_bucket"),
+    )
+    cand = left.join(right, ["_tbl", "_bucket"]).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    cos = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+    ).otherwise(F.lit(0.0))
+    return (
+        cand.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
 # ------------------------------------------------------------------- IVF
 def ivf_centroids(dim: int, n_cells: int = 32, seed: int = 23) -> list[list[float]]:
     """Deterministic unit-norm cell centroids (data-independent seeds —

@@ -28,6 +28,7 @@ from debezium_connector_spanner_spark.functions.multimodal import (
 from debezium_connector_spanner_spark.functions.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    embedding_near_dup_pairs,
 )
 from debezium_connector_spanner_spark.functions.text import quality_features
 
@@ -301,6 +302,104 @@ def q_emb_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the embedding leg of the
+    dedup family (exact/Jaccard/MinHash/SimHash/embedding-cosine).
+
+    The sandbox embeddings are near-random (max natural pair cosine
+    ~0.51), so the query deterministically plants near-duplicates from
+    the corpus itself: vectors with vec_id < 8 are copied to
+    vec_id + 100000 with a fixed per-index perturbation
+    (+0.02 * ((i % 5) - 2), float32 round-trip) — cosine vs the source
+    ~0.999. Detection is the LSH bucket self-join
+    (similarity.embedding_near_dup_pairs): never all-pairs. Fully
+    oracle-checked: sql_emb_near_dup replants and replays the identical
+    signature -> hamming-ball probe -> equi-join -> rescore pipeline in
+    DuckDB with the hyperplanes as SQL literals.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double") + 0.02 * ((i % 5).cast("double") - 2.0)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    full = emb.unionByName(planted)
+    return embedding_near_dup_pairs(full, threshold=0.9)
+
+
+def sql_emb_near_dup(
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    max_hamming: int = 1,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB replica of q_emb_near_dup: same planted perturbation (with
+    the float32 round-trip), same hyperplane literals, same sign-bit
+    signatures, same hamming-ball self-join, same rescore + threshold."""
+    from debezium_connector_spanner_spark.functions.similarity import (
+        _probe_masks,
+        hyperplanes,
+    )
+
+    plane_rows = ",\n  ".join(
+        f"({t}, {i}, {_sql_dlist(p)})"
+        for t in range(n_tables)
+        for i, p in enumerate(hyperplanes(dim, n_planes, seed=11 + 97 * t))
+    )
+    mask_rows = ", ".join(f"({m})" for m in _probe_masks(n_planes, max_hamming))
+    return f"""
+WITH planes(t, i, p) AS (VALUES
+  {plane_rows}
+),
+masks(m) AS (VALUES {mask_rows}),
+full_emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range({dim}),
+             i -> (embedding[i+1]::DOUBLE + 0.02*((i % 5) - 2))::FLOAT)
+  FROM embeddings WHERE vec_id < 8
+),
+sig AS (
+  SELECT e.vec_id, pl.t,
+         SUM(CASE WHEN list_sum(list_transform(range({dim}),
+                      j -> e.embedding[j+1]::DOUBLE * pl.p[j+1])) >= 0
+                  THEN (1::BIGINT << pl.i) ELSE 0 END)::BIGINT AS sig
+  FROM full_emb e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.t
+),
+probes AS (
+  SELECT s.vec_id AS id_a, s.t, xor(s.sig, mk.m) AS bucket
+  FROM sig s CROSS JOIN masks mk
+),
+cand AS (
+  SELECT DISTINCT p.id_a, s.vec_id AS id_b
+  FROM probes p JOIN sig s ON s.t = p.t AND s.sig = p.bucket
+  WHERE p.id_a < s.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    round(
+      CASE WHEN sqrt(list_sum(list_transform(ae.embedding, x -> (x::DOUBLE)*(x::DOUBLE)))) > 0
+            AND sqrt(list_sum(list_transform(be.embedding, x -> (x::DOUBLE)*(x::DOUBLE)))) > 0
+      THEN list_sum(list_transform(range({dim}),
+                    j -> ae.embedding[j+1]::DOUBLE * be.embedding[j+1]::DOUBLE))
+           / (sqrt(list_sum(list_transform(ae.embedding, x -> (x::DOUBLE)*(x::DOUBLE))))
+              * sqrt(list_sum(list_transform(be.embedding, x -> (x::DOUBLE)*(x::DOUBLE)))))
+      ELSE 0.0 END, 6) AS cosine
+  FROM cand c
+  JOIN full_emb ae ON ae.vec_id = c.id_a
+  JOIN full_emb be ON be.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold!r}
+"""
+
+
 def _sql_dlist(vals) -> str:
     """A DuckDB DOUBLE[] literal."""
     return "[" + ", ".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
@@ -458,6 +557,7 @@ PIPELINE_QUERIES = {
     "emb_topk_bruteforce": q_emb_topk_bruteforce,
     "emb_topk_lsh": q_emb_topk_lsh,
     "emb_topk_ivf": q_emb_topk_ivf,
+    "emb_near_dup_pairs": q_emb_near_dup,
     "media_features": q_media_features,
     "media_frame_plan": q_media_frame_plan,
 }
@@ -474,6 +574,7 @@ def pipeline_oracles() -> dict[str, str]:
         "emb_topk_bruteforce": SQL_EMB_TOPK,
         "emb_topk_lsh": sql_emb_topk_lsh(),
         "emb_topk_ivf": sql_emb_topk_ivf(),
+        "emb_near_dup_pairs": sql_emb_near_dup(),
         "media_features": SQL_MEDIA_FEATURES,
         "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
     }

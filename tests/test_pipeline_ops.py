@@ -172,3 +172,34 @@ def test_cow_mode_matches_mor(spark, tmp_root):
         outs[mode] = sorted(map(str, eng.final_state().collect()))
     assert outs["mor"] == outs["cow"]
     assert len(outs["mor"]) > 0
+
+
+def test_embedding_near_dup_pairs(spark):
+    """Embedding-cosine near-dup gate: every planted near-duplicate
+    (cosine ~0.999 vs its source) is recovered by the LSH self-join, no
+    random pair sneaks past the threshold, and the plan is a bucket
+    equi-join (no cartesian/nested-loop)."""
+    import numpy as np
+
+    from debezium_connector_spanner_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = 1500, 64
+    base = rng.randn(n, dim)
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    # plant 12 near-dups: id+100000 = source + small fixed perturbation
+    for i in range(12):
+        rows.append((i + 100000, (base[i] + 0.02 * rng.randn(dim)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out_df = embedding_near_dup_pairs(emb, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in out_df.collect()}
+    want = {(i, i + 100000) for i in range(12)}
+    assert want <= got, f"missed planted pairs: {want - got}"
+    # random gaussian pairs at dim=64 essentially never reach cosine 0.9
+    assert got == want, f"false positives: {got - want}"
+
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
