@@ -39,6 +39,11 @@ SF1_CONFIG = GeneratorConfig(
     events_per_key_mean=8,
     duration_s=3600,
     heartbeats_per_token=16,
+    # realistic row groups (see generate_bench_xl.py): the 4096-row
+    # default gives the 2.6GB hot-token file 3000+ row groups whose
+    # footer every 2MB split re-parses (~0.37s each — measured 50s for an
+    # EMPTY pruned window at this scale vs 1.5s with sane groups).
+    row_group_size=32768,
 )
 
 
@@ -58,6 +63,10 @@ def main() -> None:
         app_name="cdc-bench-sf1",
         master=f"local[{par}]",
         shuffle_partitions=max(8, par),
+        # the sf0.1-tuned 8g heap OOMs at 41M events (batch fold shuffle +
+        # concurrent compaction lane); 16g holds it. On a real cluster this
+        # is per-executor memory, not a single shared driver heap.
+        extra_conf={"spark.driver.memory": "16g"},
     )
     os.environ["BENCH_FIXTURE"] = fx
     # max_events_per_batch engaged: the 8 nominal boundaries re-split by

@@ -67,7 +67,8 @@ def main():
     for name in ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "events_lww_latest",
                  "events_user_rank", "parts_never_ordered"]:
         out.append(summarize(name, plan_of(ANALYTIC_QUERIES[name](spark, SF))))
-    for name in ["docs_jaccard_pairs", "docs_minhash_lsh_pairs", "emb_topk_bruteforce"]:
+    for name in ["docs_jaccard_pairs", "docs_minhash_lsh_pairs", "emb_topk_bruteforce",
+                 "emb_topk_lsh", "emb_near_dup_pairs"]:
         out.append(summarize(name, plan_of(PIPELINE_QUERIES[name](spark, SF))))
 
     # CDC merge path: decode -> fold (the one exchange) on a batch slice

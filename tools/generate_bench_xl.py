@@ -26,6 +26,14 @@ XL_CONFIG = GeneratorConfig(
     events_per_key_mean=8,
     duration_s=3600,
     heartbeats_per_token=16,
+    # keep each row group's TIME span near one batch window. The 4096-row
+    # default (tuned for sf<=0.1 pruning granularity) bloats footers at
+    # this size: a 1GB hot-token file gets 1200+ row groups, and every
+    # 2-8MB scan split re-parses that footer (~0.3s) — a parallelism-
+    # neutral ~15s/batch tax that floors absolute throughput. Realistic
+    # row groups (16k rows ~ a few hundred seconds per token) keep both
+    # the pruning granularity and a flat footer.
+    row_group_size=16384,
 )
 
 if __name__ == "__main__":
