@@ -17,7 +17,16 @@ shapes, chosen by workload:
   per-key combine. Identical results (property-tested).
 
 No window functions (a window would shuffle the full event set
-un-combined and cannot pre-reduce at all).
+un-combined and cannot pre-reduce at all). Measured
+(tools/bench_fold_alternatives.py, 4.1M events / 504k keys, local[32],
+3 reps): agg fold best 8.8s vs window fold best 8.5s — a wash at this
+scale (overlapping rep ranges), so the deciding factor is the shape at
+100x: the agg fold's max-of-struct aggregates admit partial aggregation
+when the input is NOT pre-bucketed (map-side combine shrinks the
+shuffle by the intra-batch key-repeat factor), while the window variant
+always ships every event row and materializes the full frame per key.
+The SortAggregate (struct-typed max has no hash-agg buffer) costs one
+in-memory per-partition sort, which spills safely; accepted.
 
 Fold semantics per key over a batch of decoded mods, ordered by
 seq = (commit_ts, record_sequence, mod_number):
