@@ -237,9 +237,13 @@ FROM documents GROUP BY 1
 
 def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring (length / punctuation ratios) —
-    whitespace tokenizer expressed identically in both engines."""
+    whitespace tokenizer AND a BPE-ish regex tokenizer (letter runs as one
+    token, digits one per token, other marks one per char — the shape a
+    byte-pair pretokenizer produces), both expressed identically in both
+    engines and fully Catalyst-native (regexp inside codegen)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    bpe_pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
     n_chars = F.length("text")
     return d.select(
         "doc_id",
@@ -248,6 +252,9 @@ def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(toks)
         .cast("long")
         .alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_pat), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
         n_chars.cast("long").alias("n_chars_computed"),
         F.length(F.regexp_replace(F.col("text"), "[^.!?,;:]", "")).cast("long").alias("n_punct"),
         F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("long").alias("n_digits"),
@@ -258,6 +265,7 @@ SQL_DOCS_TOKEN_STATS = """
 SELECT doc_id, lang,
   CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
   length(text) AS n_chars_computed,
   length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
@@ -422,5 +430,180 @@ ANALYTIC_ORACLES.update(
         "orders_rollup": SQL_ORDERS_ROLLUP,
         "events_user_rank": SQL_EVENTS_USER_RANK,
         "parts_never_ordered": SQL_PARTS_NEVER_ORDERED,
+    }
+)
+
+
+# ------------------------------------------------ TPC-H shapes, 2nd wave
+# The testdata tables are TPC-H-ish (TESTDATA.md): columns the classic
+# queries need but the tables lack (l_shipmode, l_commitdate,
+# p_container) are substituted with available ones, preserving each
+# query's OPERATOR shape — that's what matters for plan/scale review.
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join + count by priority. Adapted
+    predicate: lineitem returned ('R') stands in for commit<receipt.
+    Plan shape at scale: the filtered lineitem side shuffles as a
+    LEFT SEMI hash join on l_orderkey (no row multiplication), orders
+    window filter pushed to the scan."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation. Adapted:
+    l_linestatus stands in for l_shipmode buckets; the high/low split on
+    o_orderpriority is verbatim Q12. One shuffle join on orderkey + one
+    partial-aggregated groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — broadcast
+    dim join + two conditional sums in integer (e4) money space. part is
+    the small side at every SF ratio -> explicit broadcast hint."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_e2 = F.round(F.col("l_discount") * 100).cast("long")
+    rev_e4 = price_c * (100 - disc_e2)
+    promo = F.col("p_type") == "PROMO"
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.sum(F.when(promo, rev_e4).otherwise(F.lit(0))).alias("promo_rev_e4"),
+        F.sum(rev_e4).alias("total_rev_e4"),
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT
+  CAST(sum(CASE WHEN p_type = 'PROMO'
+        THEN CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))
+        ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+    AS total_rev_e4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-attribute predicate over a
+    broadcast part join. Catalyst pushes the common l_quantity bounds
+    to the scan and evaluates the OR-of-ANDs post-join in codegen;
+    adapted to the testdata's p_brand/p_size domain (no p_container)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_e2 = F.round(F.col("l_discount") * 100).cast("long")
+    rev_e4 = price_c * (100 - disc_e2)
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 50)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(rev_e4).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+    AS revenue_e4,
+  count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ANALYTIC_QUERIES.update(
+    {
+        "tpch_q4": q_tpch_q4,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
+    }
+)
+ANALYTIC_ORACLES.update(
+    {
+        "tpch_q4": SQL_TPCH_Q4,
+        "tpch_q12": SQL_TPCH_Q12,
+        "tpch_q14": SQL_TPCH_Q14,
+        "tpch_q19": SQL_TPCH_Q19,
     }
 )

@@ -564,10 +564,12 @@ FROM folded WHERE NOT last_is_del
 """
 
 
-def sql_cdc_watermark_trace(fx: str, sf_name: str = "sf0.01") -> str:
-    """Pure-SQL re-simulation of the engine's batch loop (O1 gate, O9
+def _trace_sql_parts(fx: str, sf_name: str = "sf0.01") -> tuple[str, str]:
+    """Shared builder for the batch-loop re-simulation (O1 gate, O9
     watermark, K2 offset advance, O14 drain) — the semantics of
     engine.py:_run/_run_batch re-derived independently over the raw log.
+    Returns (cte_blocks, trace_union) for composition into the
+    watermark-trace and stamped-envelope oracles.
 
     The recurrence is a fixed point per batch, so it unrolls as one CTE
     block per scheduled batch plus a bounded number of conditional drain
@@ -664,7 +666,49 @@ def sql_cdc_watermark_trace(fx: str, sf_name: str = "sf0.01") -> str:
         )
         rows.append(f"SELECT * FROM row{c}")
     union = "\nUNION ALL\n".join(rows)
-    return f"WITH {','.join(blocks)}\n{union}\nORDER BY batch_id"
+    return ",".join(blocks), union
+
+
+def sql_cdc_watermark_trace(fx: str, sf_name: str = "sf0.01") -> str:
+    """Per-batch low-watermark trace oracle (see _trace_sql_parts)."""
+    blocks, union = _trace_sql_parts(fx, sf_name)
+    return f"WITH {blocks}\n{union}\nORDER BY batch_id"
+
+
+def sql_cdc_envelope_stamped(fx: str, sf_name: str = "sf0.01") -> str:
+    """O10(a) oracle: the engine stamps each envelope record with the low
+    watermark held at its batch's emission — a pure function of
+    (commit_ts, batch-window series, watermark series), and the latter
+    two are exactly what the _trace_sql_parts recurrence reproduces. The
+    window derivation mirrors engine.envelope_stream: walk trace rows in
+    batch order; a row opens window (prev_end, batch_end] iff batch_end
+    advances; the stamp is the PREVIOUS row's watermark (the value the
+    publisher held while the batch's records were emitted,
+    /root/reference task/LowWatermarkStampPublisher.java:23-126)."""
+    blocks, union = _trace_sql_parts(fx, sf_name)
+    start = EPOCH_MICROS
+    return f"""
+WITH {blocks},
+  trace AS ({union}),
+  wins AS (
+    SELECT w_lo, w_hi, w_stamp FROM (
+      SELECT
+        COALESCE(MAX(batch_end_us) OVER (ORDER BY batch_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          CAST({start} AS BIGINT)) AS w_lo,
+        batch_end_us AS w_hi,
+        COALESCE(LAG(watermark_us) OVER (ORDER BY batch_id),
+          CAST({start} AS BIGINT)) AS w_stamp
+      FROM trace)
+    WHERE w_hi > w_lo
+  ),{_exploded_sql(fx)}
+SELECT
+  {_SQL_OP} AS op,
+  repo, path, ts AS ts_us,
+  w.w_stamp AS low_watermark_us,
+  w.w_hi AS read_at_timestamp_us
+FROM keyed LEFT JOIN wins w ON keyed.ts > w.w_lo AND keyed.ts <= w.w_hi
+"""
 
 
 def q_cdc_multi_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,10 +821,12 @@ FROM keyed
 
 def q_cdc_envelope_stamped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O10(a): envelope stream stamped with the ENGINE's per-batch low
-    watermark (task/LowWatermarkStampPublisher.java semantics). The stamp
-    depends on engine-internal DAG/offset state -> rows-only driver check;
-    the invariants (stamp <= commit_ts, monotone in emission order) are
-    pytest-asserted (tests/test_envelope.py, mirrors
+    watermark (task/LowWatermarkStampPublisher.java semantics). Fully
+    oracle-checked: sql_cdc_envelope_stamped derives the identical
+    window->stamp mapping from the batch-loop recurrence re-simulated in
+    DuckDB (see _trace_sql_parts) and range-joins it onto the exploded
+    log. The invariants (stamp <= commit_ts, monotone in emission order)
+    are additionally pytest-asserted (tests/test_envelope.py, mirrors
     LowWatermarkRecordIT.java:49-88)."""
     eng = replayed_engine(spark, sf_dir)
     env = eng.envelope_stream("repos")
@@ -804,4 +850,7 @@ _orig_cdc_oracles = cdc_oracles
 def cdc_oracles(sf_name: str = "sf0.01") -> dict[str, str]:  # noqa: F811
     out = _orig_cdc_oracles(sf_name)
     out["cdc_envelope"] = sql_cdc_envelope(_fx_path(sf_name))
+    out["cdc_envelope_stamped"] = sql_cdc_envelope_stamped(
+        _fx_path(sf_name), sf_name
+    )
     return out

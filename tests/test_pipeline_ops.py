@@ -203,3 +203,32 @@ def test_embedding_near_dup_pairs(spark):
 
     plan = out_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_bpe_token_count_matches_reference_tokenizer(spark):
+    """The BPE-ish tokenizer count in docs_token_stats (letter runs /
+    single digits / single marks) equals a Python re.findall of the same
+    pattern — guards the Java-regex vs RE2-oracle agreement the
+    docs_token_stats hash check depends on."""
+    import re
+
+    texts = [
+        "Hello, world 42!",
+        "",
+        "  x  ",
+        "aéb 12",
+        "tabs\tand\nnewlines  mixed... 999",
+    ]
+    pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in out.collect()}
+    expect = {i: len(re.findall(pat, t)) for i, t in enumerate(texts)}
+    assert got == expect
