@@ -24,11 +24,12 @@ sys.path.insert(0, {repo!r})
 from debezium_connector_spanner_spark.session import get_spark
 from bench import run_cdc_replay
 if os.environ.get("BENCH_MASTER_MODE") == "cluster":
-    # N separate executor JVMs x 4 cores each — the faithful
+    # N separate executor JVMs x C cores each — the faithful
     # "N executors vs 4N executors" shape from the north rule
+    cores = int(os.environ.get("BENCH_CLUSTER_CORES", "4"))
     spark = get_spark(
-        master="local-cluster[{par},4,4096]",
-        shuffle_partitions=max(8, 4 * {par}),
+        master="local-cluster[{par},%d,4096]" % cores,
+        shuffle_partitions=max(8, cores * {par}),
         extra_conf={{"spark.executor.memory": "3g"}},
     )
 else:
@@ -107,9 +108,14 @@ def main():
         "runs": results,
     }
     print(json.dumps(summary))
+    if os.environ.get("BENCH_MASTER_MODE") == "cluster":
+        c = os.environ.get("BENCH_CLUSTER_CORES", "4")
+        lo, hi = f"local-cluster[{n},{c}]", f"local-cluster[{4*n},{c}]"
+    else:
+        lo, hi = f"local[{n}]", f"local[{4*n}]"
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
         f.write(
-            f"\n| local[{n}] | {best[n]:.0f} ev/s | local[{4*n}] | "
+            f"\n| {lo} | {best[n]:.0f} ev/s | {hi} | "
             f"{best[4*n]:.0f} ev/s | {eff:.2f} | {results[n][0]['events']} events |"
         )
 
