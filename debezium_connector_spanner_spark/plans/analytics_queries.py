@@ -607,3 +607,141 @@ ANALYTIC_ORACLES.update(
         "tpch_q19": SQL_TPCH_Q19,
     }
 )
+
+
+# ----------------------------------------------- sessionization + streaming
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands): per-user sessions
+    split at >30 min inactivity — the classic training-data-pipeline
+    shape (activity segmentation before per-session feature extraction).
+
+    All Catalyst-native window functions (lag + running sum), one shuffle
+    on user_id; the default RANGE frame makes tie rows (duplicate ts)
+    land in the same session regardless of intra-tie order, so the
+    result is deterministic and hash-comparable against DuckDB's
+    identical window semantics. At 100 TB this is a single
+    hash-partitioned sort per user shard — no UDFs, no driver state.
+    """
+    from pyspark.sql import Window
+
+    gap_us = 30 * 60 * 1_000_000
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    new_flag = (
+        F.when(prev_us.isNull() | (_us("ts") - prev_us > gap_us), 1).otherwise(0)
+    )
+    sess = ev.withColumn("_new", new_flag).withColumn(
+        "session_id", F.sum("_new").over(w).cast("long")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min(_us("ts")).alias("session_start_us"),
+        F.max(_us("ts")).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("sum_value_e6"),
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  min(epoch_us(ts)) AS session_start_us,
+  max(epoch_us(ts)) AS session_end_us,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
+FROM (
+  SELECT user_id, ts, value,
+    sum(new_flag) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+  FROM (
+    SELECT user_id, ts, value,
+      CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+           THEN 1 ELSE 0 END AS new_flag
+    FROM (
+      SELECT user_id, ts, value,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    )
+  )
+)
+GROUP BY 1, 2
+"""
+
+
+def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly rollup as a GENUINE Structured Streaming query: the
+    events table is read as a file stream, aggregated with a tumbling
+    event-time window, and drained with trigger(availableNow) into a
+    memory sink in complete mode. The emitted table must hash-equal the
+    batch/DuckDB rollup — streaming-vs-batch parity is the exactly-once
+    guarantee surfaced as an oracle check (reference semantics:
+    SpannerStreamingChangeEventSource drains the same events whether
+    polled live or replayed).
+
+    complete mode (not append) so the final emission covers every
+    window independent of watermark cutoff — deterministic for a finite
+    source. n_users (countDistinct) is omitted: distinct aggregates are
+    unsupported in streaming; the batch variant (events_hourly) keeps it.
+    """
+    import uuid
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the testdata table is a single parquet FILE; FileStreamSource only
+    # accepts a directory, so stream the parent dir with a leaf-name glob
+    if os.path.isdir(path):
+        sdf = spark.readStream.schema(schema).parquet(path)
+    else:
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(path))
+            .parquet(sf_dir)
+        )
+    agg = (
+        sdf.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).alias(
+                "sum_value_e6"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("hour_us"),
+            "event_type",
+            "n_events",
+            "sum_value_e6",
+        )
+    )
+    name = "evh_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SQL_EVENTS_HOURLY_STREAM = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
+FROM events GROUP BY 1, 2
+"""
+
+ANALYTIC_QUERIES.update(
+    {
+        "events_sessions": q_events_sessions,
+        "events_hourly_stream": q_events_hourly_stream,
+    }
+)
+ANALYTIC_ORACLES.update(
+    {
+        "events_sessions": SQL_EVENTS_SESSIONS,
+        "events_hourly_stream": SQL_EVENTS_HOURLY_STREAM,
+    }
+)
