@@ -66,6 +66,7 @@ from debezium_connector_spanner_spark.sources.event_schema import (
     TableSchema,
 )
 from debezium_connector_spanner_spark.sources.lake import LakeTable
+from debezium_connector_spanner_spark.streaming.task_scaler import TaskScaler
 
 CREATED, READY, FINISHED = "CREATED", "READY", "FINISHED"
 # states mirror kafka/internal/model/PartitionStateEnum.java:8-21 collapsed
@@ -164,6 +165,21 @@ class CdcReplayEngine:
         # grow_buckets renumbering (sources/lake.py). None = fixed count.
         # On a cluster target ~256-512MB; tests use tiny values.
         grow_bucket_bytes: int | None = None,
+        # C5 task auto-scaler (task/scaler/TaskScaleCalculator.java:20-47):
+        # per-batch worker-width grant for variable-width work — the salt
+        # spread of the hot-key fold. Grows +20%/step while active
+        # tokens per worker > desired, halves when >50% idle, bounded
+        # [scaler_min, scaler_max]. scaler_max=None -> defaultParallelism
+        # (a salt spread past the core count only adds combine work).
+        scaler_min: int = 2,
+        scaler_max: int | None = None,
+        desired_tokens_per_task: int = 2,
+        # one "partition of work" is EITHER a live change-stream token or
+        # events_per_task_target predicted change events (K3 rate model):
+        # the reference's task unit is a streamed partition, but a Spark
+        # reducer's unit is rows — a 3-token mega-key batch still needs a
+        # wide grant. 64k events/worker keeps task granularity ~100ms.
+        events_per_task_target: int = 65536,
         # S1 scan pruning: above this many active tokens the literal
         # IN-list predicate is skipped and token filtering rides the
         # (already present) broadcast offsets equi-join — dynamic
@@ -222,6 +238,17 @@ class CdcReplayEngine:
         # K3 sizing rate model: EMA of observed change events per µs of
         # window, checkpointed so a resumed engine keeps its calibration
         self._rate_ev_per_us: float | None = None
+        self._scaler = TaskScaler(
+            tasks_min=scaler_min,
+            tasks_max=(
+                scaler_max
+                if scaler_max is not None
+                else spark.sparkContext.defaultParallelism
+            ),
+            desired_partitions_per_task=desired_tokens_per_task,
+            current=scaler_min,
+        )
+        self.events_per_task_target = events_per_task_target
         os.makedirs(checkpoint_dir, exist_ok=True)
 
         # normalize the single-table legacy shape to the multi-table one
@@ -283,6 +310,13 @@ class CdcReplayEngine:
             self.watermark_us = ckpt["watermark_us"]
             self._rate_ev_per_us = ckpt.get("rate_ev_per_us")
             self._hot_share = ckpt.get("hot_share", {})
+            sc = ckpt.get("scaler")
+            if sc:  # resumed scaler keeps its grant (no cold restart dip)
+                self._scaler.current = max(
+                    self._scaler.tasks_min,
+                    min(self._scaler.tasks_max, sc["current"]),
+                )
+                self._scaler._prev_active = sc["prev_active"]
         self.metrics_path = os.path.join(checkpoint_dir, "metrics.jsonl")
 
     # ------------------------------------------------------------- layout
@@ -352,6 +386,10 @@ class CdcReplayEngine:
             "watermark_us": self.watermark_us,
             "rate_ev_per_us": self._rate_ev_per_us,
             "hot_share": self._hot_share,
+            "scaler": {
+                "current": self._scaler.current,
+                "prev_active": self._scaler._prev_active,
+            },
             "tables": {
                 n: {
                     "schema_cols": st.schema.column_types_json(),
@@ -419,6 +457,17 @@ class CdcReplayEngine:
             ):
                 s.state = READY
         return [t for t, s in self.tokens.items() if s.state == READY]
+
+    def _work_units(self, active: list[str], batch_end_us: int) -> int:
+        """C5 scaler input: partitions of work this batch — live tokens,
+        or predicted-event chunks of ``events_per_task_target`` (K3 rate
+        model) when volume demands more workers than the token count
+        implies (a 3-token mega-key batch still needs a wide grant)."""
+        units = len(active)
+        if self._rate_ev_per_us:
+            predicted = self._rate_ev_per_us * max(0, batch_end_us - self.frontier_us)
+            units = max(units, -(-int(predicted) // self.events_per_task_target))
+        return units
 
     def _probe_count(self, active: list[str], batch_end_us: int) -> int:
         """Cheap row-count probe of the would-be batch window (row-group
@@ -626,6 +675,13 @@ class CdcReplayEngine:
         t0 = time.monotonic()
         timings: dict[str, float] = {}
         active = self._gate()
+        # C5: one scaling decision per batch; the grant widens the salted
+        # folds' worker width. The width floor (16, the pre-scaler static
+        # salt spread) guards the cold start: before the rate model
+        # calibrates, work units undercount a mega-key batch, and salting
+        # narrower than ~16 ways never wins on >=16 cores.
+        tasks = self._scaler.step(self._work_units(active, batch_end_us))
+        salt_width = max(min(16, self._scaler.tasks_max), tasks)
         scan = self._active_scan(active, batch_end_us) if active else None
 
         events = 0
@@ -741,6 +797,7 @@ class CdcReplayEngine:
                         active,
                         0,
                         salted_tables[n],
+                        salt_width,
                     )
                     for n in self.tables
                     if self._table_allowed(n)
@@ -796,6 +853,7 @@ class CdcReplayEngine:
                         active,
                         attempt=1,
                         use_salted=salted_tables[name],
+                        n_salts=salt_width,
                     )
                     timings["schema_retry_s"] = round(time.monotonic() - t_retry, 3)
                 snapshot_ids[name] = attempts[name][0]
@@ -996,6 +1054,7 @@ class CdcReplayEngine:
             "requeried_tokens": requeried,
             "salted_tables": salted_used,
             "hot_share": dict(self._hot_share),
+            "tasks": tasks,
             "snapshot_id": snapshot_ids.get(primary),
             "snapshot_ids": snapshot_ids,
             "wall_s": round(wall, 4),
@@ -1049,6 +1108,7 @@ class CdcReplayEngine:
         active: list[str],
         attempt: int,
         use_salted: bool = False,
+        n_salts: int | None = None,
     ):
         """decode -> fold -> MERGE one table with per-token lineage
         Observation.
@@ -1092,7 +1152,13 @@ class CdcReplayEngine:
                 fold_changes_salted,
             )
 
-            folded = fold_changes_salted(decoded, schema.key_columns, schema.value_columns)
+            folded = fold_changes_salted(
+                decoded,
+                schema.key_columns,
+                schema.value_columns,
+                # C5 grant: how many ways a hot key shards this batch
+                n_salts=n_salts if n_salts is not None else 16,
+            )
         else:
             folded = fold_changes(
                 decoded,
