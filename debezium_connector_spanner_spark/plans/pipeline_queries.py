@@ -184,6 +184,64 @@ FROM toks
 """
 
 
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (winnowing-lite): min rolling hash over
+    64-char windows of the normalized text — robust to local edits, so
+    shared fingerprints flag near-identical documents. All JVM-side
+    (sequence+transform+array_min inside codegen); the DuckDB oracle
+    replays the identical window/hash pipeline."""
+    from debezium_connector_spanner_spark.functions.text import rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.lower(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        rolling_fingerprint(F.col("text"), window=64).alias("fingerprint"),
+        F.greatest(F.length(c) - 63, F.lit(1)).cast("long").alias("n_windows"),
+    )
+
+
+def q_docs_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-cluster dedup view: fingerprints shared by >1 doc with
+    the member count and the keeper (min doc_id) — the dedup decision a
+    pipeline would apply downstream of docs_fingerprint."""
+    fp = q_docs_fingerprint(spark, sf_dir)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# min rolling hash over 64-char windows; i is the (1-based) window start,
+# j the md5 hex nibble being folded into the 60-bit integer
+_SQL_WIN_HASH = (
+    "CAST(list_sum(list_transform(range(15), j -> "
+    "CAST(strpos('0123456789abcdef', "
+    "md5(substring(t, CAST(i AS INTEGER), 64))[CAST(j + 1 AS INTEGER)]) - 1 AS BIGINT) "
+    "<< CAST(4 * (14 - j) AS BIGINT))) AS BIGINT)"
+)
+
+SQL_DOCS_FINGERPRINT = f"""
+WITH c AS (SELECT doc_id, lower(trim(text)) AS t FROM documents)
+SELECT doc_id,
+  list_min(list_transform(range(1, CAST(greatest(length(t) - 63, 1) AS INTEGER) + 1),
+           i -> {_SQL_WIN_HASH})) AS fingerprint,
+  CAST(greatest(length(t) - 63, 1) AS BIGINT) AS n_windows
+FROM c
+"""
+
+SQL_DOCS_FINGERPRINT_DUPS = (
+    "WITH fp AS (" + SQL_DOCS_FINGERPRINT + ")\n"
+    "SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,\n"
+    "       min(doc_id) AS keep_doc_id\n"
+    "FROM fp GROUP BY fingerprint HAVING count(*) > 1\n"
+)
+
+
 def q_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: argmax stopword-hit-rate across candidate
     languages; 'und' when nothing matches."""
@@ -554,6 +612,8 @@ PIPELINE_QUERIES = {
     "docs_simhash_near_pairs": q_docs_simhash_near,
     "docs_quality": q_docs_quality,
     "docs_langid": q_docs_langid,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_fingerprint_dups": q_docs_fingerprint_dups,
     "emb_topk_bruteforce": q_emb_topk_bruteforce,
     "emb_topk_lsh": q_emb_topk_lsh,
     "emb_topk_ivf": q_emb_topk_ivf,
@@ -571,6 +631,8 @@ def pipeline_oracles() -> dict[str, str]:
         "docs_simhash_near_pairs": SQL_DOCS_SIMHASH_NEAR,
         "docs_quality": SQL_DOCS_QUALITY,
         "docs_langid": sql_docs_langid(),
+        "docs_fingerprint": SQL_DOCS_FINGERPRINT,
+        "docs_fingerprint_dups": SQL_DOCS_FINGERPRINT_DUPS,
         "emb_topk_bruteforce": SQL_EMB_TOPK,
         "emb_topk_lsh": sql_emb_topk_lsh(),
         "emb_topk_ivf": sql_emb_topk_ivf(),
