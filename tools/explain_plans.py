@@ -68,8 +68,8 @@ def main():
                  "tpch_q12", "tpch_q14", "tpch_q19", "events_lww_latest",
                  "events_user_rank", "events_sessions", "parts_never_ordered"]:
         out.append(summarize(name, plan_of(ANALYTIC_QUERIES[name](spark, SF))))
-    for name in ["docs_jaccard_pairs", "docs_minhash_lsh_pairs", "emb_topk_bruteforce",
-                 "emb_topk_lsh", "emb_near_dup_pairs"]:
+    for name in ["docs_jaccard_pairs", "docs_minhash_lsh_pairs", "docs_fingerprint",
+                 "emb_topk_bruteforce", "emb_topk_lsh", "emb_near_dup_pairs"]:
         out.append(summarize(name, plan_of(PIPELINE_QUERIES[name](spark, SF))))
 
     # CDC merge path: decode -> fold (the one exchange) on a batch slice
