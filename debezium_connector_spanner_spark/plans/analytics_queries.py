@@ -745,3 +745,40 @@ ANALYTIC_ORACLES.update(
         "events_hourly_stream": SQL_EVENTS_HOURLY_STREAM,
     }
 )
+
+
+# ------------------------------------------------ metrics-style quantiles
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group value percentiles (p50/p90/p99) — the M2 metrics
+    surface (reference SpannerMeter percentile gauges,
+    metrics/SpannerMeter.java:298-384) exposed as an oracle-checked
+    query. percentile_disc picks an existing element (no interpolation),
+    so Spark and DuckDB agree bit-for-bit on doubles; at scale this is
+    one shuffle + a per-group sort — swap to approx_percentile sketches
+    when exactness isn't required (the engine's metrics lane already
+    does, streaming/engine.py quantile extras)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ev_q")
+    return spark.sql(
+        """
+        SELECT event_type,
+          percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+          percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90,
+          percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+          CAST(count(*) AS BIGINT) AS n
+        FROM __ev_q GROUP BY event_type
+        """
+    )
+
+
+SQL_EVENTS_VALUE_QUANTILES = """
+SELECT event_type,
+  quantile_disc(value, 0.5) AS p50,
+  quantile_disc(value, 0.9) AS p90,
+  quantile_disc(value, 0.99) AS p99,
+  CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+ANALYTIC_QUERIES.update({"events_value_quantiles": q_events_value_quantiles})
+ANALYTIC_ORACLES.update({"events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES})

@@ -663,3 +663,67 @@ SELECT i::BIGINT AS media_id,
 FROM (SELECT range AS i FROM range(256))
 WHERE i % 3 = 2
 """
+
+
+# ------------------------------------------------ dataset split
+def q_docs_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-gated train/val/test split — the assignment
+    step of a training-data pipeline. The split key is a content-free
+    hash of doc_id (md5 hex fold mod 100: <80 train, <90 val, else
+    test), so the assignment is stable across runs, engines, and
+    partitionings — re-running the pipeline on 100 TB reassigns nothing.
+    Quality gate: non-empty text and >= 5 whitespace words (the
+    docs_quality criteria a pipeline would filter on). All codegen —
+    zero exchanges, no UDFs."""
+    from debezium_connector_spanner_spark.functions.text import md5_hash64
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(md5_hash64(F.col("doc_id").cast("string")), F.lit(100))
+    n_words = F.size(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    )
+    return (
+        d.where((F.length(F.trim(F.col("text"))) > 0) & (n_words >= 5))
+        .select(
+            "doc_id",
+            bucket.cast("long").alias("split_bucket"),
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+# same md5 hex fold as _SQL_WIN_HASH but over CAST(doc_id AS VARCHAR)
+_SQL_ID_HASH = (
+    "CAST(list_sum(list_transform(range(15), j -> "
+    "CAST(strpos('0123456789abcdef', "
+    "md5(CAST(doc_id AS VARCHAR))[CAST(j + 1 AS INTEGER)]) - 1 AS BIGINT) "
+    "<< CAST(4 * (14 - j) AS BIGINT))) AS BIGINT)"
+)
+
+SQL_DOCS_DATASET_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id, {_SQL_ID_HASH} % 100 AS split_bucket
+  FROM documents
+  WHERE length(trim(text)) > 0
+    AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 5
+)
+SELECT doc_id, split_bucket,
+       CASE WHEN split_bucket < 80 THEN 'train'
+            WHEN split_bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+PIPELINE_QUERIES.update({"docs_dataset_split": q_docs_dataset_split})
+_EXTRA_ORACLES = {"docs_dataset_split": SQL_DOCS_DATASET_SPLIT}
+
+_base_pipeline_oracles = pipeline_oracles
+
+
+def pipeline_oracles() -> dict[str, str]:  # noqa: F811 — extend in place
+    out = _base_pipeline_oracles()
+    out.update(_EXTRA_ORACLES)
+    return out
