@@ -782,3 +782,182 @@ FROM events GROUP BY event_type
 
 ANALYTIC_QUERIES.update({"events_value_quantiles": q_events_value_quantiles})
 ANALYTIC_ORACLES.update({"events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES})
+
+
+# ------------------------------------------------ TPC-H shapes, 3rd wave
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item revenue by customer (fact-fact join +
+    two broadcast dims + wide groupBy). No LIMIT so the compare is
+    order-insensitive; money in exact integer space per the module
+    hash rules."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_e2 = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+            "n_name",
+        )
+        .agg(F.sum(price_c * (100 - disc_e2)).alias("revenue_e4"))
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name,
+  CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents, n_name,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per part attribute with a
+    NOT-IN exclusion subquery. Adapted to the testdata schema (no
+    partsupp: lineitem provides the part->supplier relation; the
+    'complaints' exclusion is suppliers with negative balance). The
+    exclusion is a broadcast LEFT ANTI join — never a shuffle of the
+    fact side against a subquery."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: pre-aggregate the fact table,
+    then broadcast the tiny HAVING survivors back onto orders/customer —
+    the aggregate-then-semi-join shape that avoids ever widening the
+    fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_e2 = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_e2).alias("qty_e2"))
+        .where(F.col("qty_e2") > 300 * 100)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            _us("o_orderdate").alias("o_orderdate_us"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+            "qty_e2",
+        )
+    )
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_e2
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 30000
+)
+SELECT c_custkey, c_name, o_orderkey,
+  epoch_us(o_orderdate) AS o_orderdate_us,
+  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents, qty_e2
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (O12 as a streaming operator): the events
+    file stream deduplicated on the at-least-once identity
+    (user_id, event_type, value_e6) with dropDuplicates, drained via
+    trigger(availableNow) into an append-mode memory sink. The emitted
+    distinct set must hash-equal batch DISTINCT — dedup parity between
+    live-stream and replay paths. State is bounded by the key space; a
+    production stream would add withWatermark +
+    dropDuplicatesWithinWatermark to expire keys."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        sdf = spark.readStream.schema(schema).parquet(path)
+    else:
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(path))
+            .parquet(sf_dir)
+        )
+    dd = sdf.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("value_e6"),
+    ).dropDuplicates(["user_id", "event_type", "value_e6"])
+    name = "events_dedup_stream_sink"
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SQL_EVENTS_DEDUP_STREAM = """
+SELECT DISTINCT user_id, event_type,
+  CAST(round(value*1000000) AS BIGINT) AS value_e6
+FROM events
+"""
+
+ANALYTIC_QUERIES.update(
+    {
+        "tpch_q10": q_tpch_q10,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q18": q_tpch_q18,
+        "events_dedup_stream": q_events_dedup_stream,
+    }
+)
+ANALYTIC_ORACLES.update(
+    {
+        "tpch_q10": SQL_TPCH_Q10,
+        "tpch_q16": SQL_TPCH_Q16,
+        "tpch_q18": SQL_TPCH_Q18,
+        "events_dedup_stream": SQL_EVENTS_DEDUP_STREAM,
+    }
+)

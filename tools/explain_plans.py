@@ -65,8 +65,10 @@ def main():
     from debezium_connector_spanner_spark.plans.pipeline_queries import PIPELINE_QUERIES
 
     for name in ["tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-                 "tpch_q12", "tpch_q14", "tpch_q19", "events_lww_latest",
-                 "events_user_rank", "events_sessions", "parts_never_ordered"]:
+                 "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q16", "tpch_q18",
+                 "tpch_q19", "events_lww_latest", "events_user_rank",
+                 "events_sessions", "events_value_quantiles",
+                 "parts_never_ordered"]:
         out.append(summarize(name, plan_of(ANALYTIC_QUERIES[name](spark, SF))))
     for name in ["docs_jaccard_pairs", "docs_minhash_lsh_pairs", "docs_fingerprint",
                  "emb_topk_bruteforce", "emb_topk_lsh", "emb_near_dup_pairs"]:
