@@ -961,3 +961,62 @@ ANALYTIC_ORACLES.update(
         "events_dedup_stream": SQL_EVENTS_DEDUP_STREAM,
     }
 )
+
+
+# ------------------------------------------------ as-of join
+def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution via distributed as-of join (operators/asof.py): every
+    click joined to the user's latest prior-or-simultaneous purchase.
+    Ties (two purchases at one (user, ts)) resolve to the max event_id
+    via the operator's tiebreak ordering — argmax semantics WITHOUT a
+    separate dedup aggregation, so the whole query is ONE shuffle (the
+    as-of window's); DuckDB's native ASOF LEFT JOIN over an arg_max
+    pre-dedup is the oracle (equivalent by construction)."""
+    from debezium_connector_spanner_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.round(F.col("value") * 1000000).cast("long").alias("purchase_value_e6"),
+    )
+    j = asof_join(
+        clicks,
+        pur,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="purchase_ts",
+        tiebreak="purchase_event_id",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        _us("ts").alias("click_ts_us"),
+        _us("purchase_ts").alias("purchase_ts_us"),
+        "purchase_event_id",
+        "purchase_value_e6",
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_event_id,
+         arg_max(CAST(round(value*1000000) AS BIGINT), event_id)
+           AS purchase_value_e6
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_ts_us,
+       epoch_us(r.purchase_ts) AS purchase_ts_us,
+       r.purchase_event_id, r.purchase_value_e6
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.purchase_ts
+"""
+
+ANALYTIC_QUERIES.update({"events_asof_attribution": q_events_asof_attribution})
+ANALYTIC_ORACLES.update({"events_asof_attribution": SQL_EVENTS_ASOF})

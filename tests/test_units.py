@@ -116,3 +116,58 @@ def test_replay_batch_boundary_invariance(spark, tmp_root, n_batches):
     )
     want = fold_final_state(fx).sort_values(["repo", "path"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_asof_join_matches_pandas(spark):
+    """asof_join == pandas merge_asof on a randomized case with ties,
+    unmatched lefts, and multi-key groups."""
+    import numpy as np
+    import pandas as pd
+
+    from debezium_connector_spanner_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 80),
+            "lt": rng.randint(0, 100, 80).astype("int64"),
+            "lid": np.arange(80, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 6, 40),  # key 5 never matches a left
+            "rt": rng.randint(0, 100, 40).astype("int64"),
+            "rv": np.arange(1000, 1040, dtype="int64"),
+        }
+    )
+    # dedup right per (k, rt) keeping max rv — the determinism contract
+    right = right.sort_values("rv").groupby(["k", "rt"], as_index=False).last()
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on=["k"],
+            left_ts="lt",
+            right_ts="rt",
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("lt", kind="stable"),
+        right.sort_values("rt", kind="stable"),
+        left_on="lt",
+        right_on="rt",
+        by="k",
+        allow_exact_matches=True,
+    ).sort_values("lid").reset_index(drop=True)
+    assert list(got["lid"]) == list(want["lid"])
+    assert got["rv"].fillna(-1).astype("int64").tolist() == want["rv"].fillna(
+        -1
+    ).astype("int64").tolist()
+    assert got["rt"].fillna(-1).astype("int64").tolist() == want["rt"].fillna(
+        -1
+    ).astype("int64").tolist()
