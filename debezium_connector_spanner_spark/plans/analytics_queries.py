@@ -1020,3 +1020,93 @@ FROM l ASOF LEFT JOIN r
 
 ANALYTIC_QUERIES.update({"events_asof_attribution": q_events_asof_attribution})
 ANALYTIC_ORACLES.update({"events_asof_attribution": SQL_EVENTS_ASOF})
+
+
+# ------------------------------------------------ range join
+def q_events_purchases_in_click_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin.py): purchases located inside the
+    click-session attribution window [start, end + 30 min] of the same
+    user — sessionize one event stream, then bucket-equi-join another
+    stream into the intervals. The +30 min tail matches the session gap,
+    so windows stay disjoint per user (next session starts STRICTLY more
+    than one gap after the previous last click) and each purchase
+    matches at most one; the DuckDB oracle is the plain inequality join
+    (fine at oracle scale, cartesian at 100 TB — the bucketized shape is
+    the point)."""
+    from pyspark.sql import Window
+
+    from debezium_connector_spanner_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    gap_us = 30 * 60 * 1_000_000
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    new_flag = (
+        F.when(prev_us.isNull() | (_us("ts") - prev_us > gap_us), 1).otherwise(0)
+    )
+    sessions = (
+        clicks.withColumn("_new", new_flag)
+        .withColumn("session_id", F.sum("_new").over(w).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(_us("ts")).alias("session_start_us"),
+            (F.max(_us("ts")) + F.lit(gap_us)).alias("session_end_us"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        _us("ts").alias("purchase_ts_us"),
+        F.round(F.col("value") * 1000000).cast("long").alias("purchase_value_e6"),
+    )
+    return point_in_interval_join(
+        purchases,
+        sessions,
+        on=["user_id"],
+        point_col="purchase_ts_us",
+        start_col="session_start_us",
+        end_col="session_end_us",
+        bucket_width=gap_us,
+    )
+
+
+SQL_EVENTS_RANGE_SESSIONS = """
+WITH c AS (
+  SELECT user_id, ts,
+    sum(new_flag) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+  FROM (
+    SELECT user_id, ts,
+      CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+           THEN 1 ELSE 0 END AS new_flag
+    FROM (
+      SELECT user_id, ts,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events WHERE event_type = 'click'
+    )
+  )
+), s AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+    min(epoch_us(ts)) AS session_start_us,
+    max(epoch_us(ts)) + 1800000000 AS session_end_us
+  FROM c GROUP BY 1, 2
+), p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS purchase_ts_us,
+    CAST(round(value*1000000) AS BIGINT) AS purchase_value_e6
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id, p.purchase_ts_us, p.purchase_value_e6,
+       s.session_id, s.session_start_us, s.session_end_us
+FROM p JOIN s ON p.user_id = s.user_id
+  AND p.purchase_ts_us BETWEEN s.session_start_us AND s.session_end_us
+"""
+
+ANALYTIC_QUERIES.update(
+    {"events_purchases_in_click_sessions": q_events_purchases_in_click_sessions}
+)
+ANALYTIC_ORACLES.update(
+    {"events_purchases_in_click_sessions": SQL_EVENTS_RANGE_SESSIONS}
+)

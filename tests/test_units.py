@@ -171,3 +171,49 @@ def test_asof_join_matches_pandas(spark):
     assert got["rt"].fillna(-1).astype("int64").tolist() == want["rt"].fillna(
         -1
     ).astype("int64").tolist()
+
+
+def test_point_in_interval_join_matches_bruteforce(spark):
+    """Bucketized range join == brute-force cross filter on randomized
+    intervals (spanning multiple buckets, overlapping, zero-width) —
+    including a bucket_width far smaller than interval length."""
+    import numpy as np
+    import pandas as pd
+
+    from debezium_connector_spanner_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    rng = np.random.RandomState(11)
+    pts = pd.DataFrame(
+        {
+            "k": rng.randint(0, 4, 60),
+            "pt": rng.randint(0, 1000, 60).astype("int64"),
+            "pid": np.arange(60, dtype="int64"),
+        }
+    )
+    st = rng.randint(0, 950, 30).astype("int64")
+    ivl = pd.DataFrame(
+        {
+            "k": rng.randint(0, 4, 30),
+            "st": st,
+            "en": st + rng.randint(0, 400, 30).astype("int64"),  # incl. width 0
+            "iid": np.arange(100, 130, dtype="int64"),
+        }
+    )
+    for width in (7, 100, 2000):
+        got = point_in_interval_join(
+            spark.createDataFrame(pts),
+            spark.createDataFrame(ivl),
+            on=["k"],
+            point_col="pt",
+            start_col="st",
+            end_col="en",
+            bucket_width=width,
+        ).toPandas()
+        want = pts.merge(ivl, on="k")
+        want = want[(want.pt >= want.st) & (want.pt <= want.en)]
+        assert sorted(zip(got.pid, got.iid)) == sorted(
+            zip(want.pid, want.iid)
+        ), f"width={width}"
+        assert len(got) > 0

@@ -68,7 +68,9 @@ def main():
                  "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q16", "tpch_q18",
                  "tpch_q19", "events_lww_latest", "events_user_rank",
                  "events_sessions", "events_value_quantiles",
-                 "events_asof_attribution", "parts_never_ordered"]:
+                 "events_asof_attribution",
+                 "events_purchases_in_click_sessions",
+                 "parts_never_ordered"]:
         out.append(summarize(name, plan_of(ANALYTIC_QUERIES[name](spark, SF))))
     for name in ["docs_jaccard_pairs", "docs_minhash_lsh_pairs", "docs_fingerprint",
                  "emb_topk_bruteforce", "emb_topk_lsh", "emb_near_dup_pairs"]:
