@@ -144,6 +144,31 @@ def main() -> None:
         queries[name] = round(time.monotonic() - t0, 3)
         extras.setdefault("rows", {})[name] = n
 
+    # round-3 operators timed in extras (NOT in the headline total, so the
+    # round-over-round `value` stays comparable)
+    for name in (
+        "events_asof_attribution",
+        "events_purchases_in_click_sessions",
+        "events_value_quantiles",
+        "tpch_q10",
+        "tpch_q18",
+    ):
+        fn = ANALYTIC_QUERIES[name]
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()
+        extras.setdefault("new_ops_sec", {})[name] = round(time.monotonic() - t0, 3)
+        extras.setdefault("rows", {})[name] = n
+    from debezium_connector_spanner_spark.plans.pipeline_queries import (
+        PIPELINE_QUERIES,
+    )
+
+    for name in ("docs_fingerprint_dups", "docs_dataset_split"):
+        fn = PIPELINE_QUERIES[name]
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()
+        extras.setdefault("new_ops_sec", {})[name] = round(time.monotonic() - t0, 3)
+        extras.setdefault("rows", {})[name] = n
+
     # sf1 scale-up proof point (measured separately by tools/bench_sf1.py —
     # a ~41M-event replay is too heavy for the per-round bench loop; the
     # checked-in row carries its own wall/events so it is auditable)

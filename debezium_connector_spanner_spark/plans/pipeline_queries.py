@@ -194,10 +194,13 @@ def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     c = F.lower(F.trim(F.col("text")))
+    n_pos = F.greatest(F.length(c) - 63, F.lit(1))
     return d.select(
         "doc_id",
-        rolling_fingerprint(F.col("text"), window=64).alias("fingerprint"),
-        F.greatest(F.length(c) - 63, F.lit(1)).cast("long").alias("n_windows"),
+        rolling_fingerprint(F.col("text"), window=64, stride=4).alias(
+            "fingerprint"
+        ),
+        (((n_pos - 1) / 4).cast("long") + 1).alias("n_windows"),
     )
 
 
@@ -228,9 +231,10 @@ _SQL_WIN_HASH = (
 SQL_DOCS_FINGERPRINT = f"""
 WITH c AS (SELECT doc_id, lower(trim(text)) AS t FROM documents)
 SELECT doc_id,
-  list_min(list_transform(range(1, CAST(greatest(length(t) - 63, 1) AS INTEGER) + 1),
+  list_min(list_transform(
+           range(1, CAST(greatest(length(t) - 63, 1) AS INTEGER) + 1, 4),
            i -> {_SQL_WIN_HASH})) AS fingerprint,
-  CAST(greatest(length(t) - 63, 1) AS BIGINT) AS n_windows
+  CAST((greatest(length(t) - 63, 1) - 1) // 4 + 1 AS BIGINT) AS n_windows
 FROM c
 """
 
