@@ -1110,3 +1110,34 @@ ANALYTIC_QUERIES.update(
 ANALYTIC_ORACLES.update(
     {"events_purchases_in_click_sessions": SQL_EVENTS_RANGE_SESSIONS}
 )
+
+
+# ------------------------------------------------ cube
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id — all 4 grouping-set
+    combinations in ONE pass (partial aggregation covers every set
+    before the single shuffle); complements orders_rollup's ROLLUP."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+SQL_ORDERS_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+  count(*) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+ANALYTIC_QUERIES.update({"orders_cube": q_orders_cube})
+ANALYTIC_ORACLES.update({"orders_cube": SQL_ORDERS_CUBE})

@@ -731,3 +731,29 @@ def pipeline_oracles() -> dict[str, str]:  # noqa: F811 — extend in place
     out = _base_pipeline_oracles()
     out.update(_EXTRA_ORACLES)
     return out
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: ~10% of documents PER LANGUAGE by
+    the same content-free doc_id hash as docs_dataset_split — balanced
+    subsets whose membership is stable under re-runs and repartitioning
+    (unlike rand()/TABLESAMPLE). Pure filter: no shuffle at all; the
+    per-stratum rate could come from a broadcast dim without changing
+    the shape."""
+    from debezium_connector_spanner_spark.functions.text import md5_hash64
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(md5_hash64(F.col("doc_id").cast("string")), F.lit(100))
+    return d.where(bucket < 10).select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+SQL_DOCS_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE {_SQL_ID_HASH} % 100 < 10
+"""
+
+PIPELINE_QUERIES.update({"docs_stratified_sample": q_docs_stratified_sample})
+_EXTRA_ORACLES["docs_stratified_sample"] = SQL_DOCS_STRATIFIED_SAMPLE
