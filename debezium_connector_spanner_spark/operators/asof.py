@@ -44,6 +44,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     tiebreak: str | None = None,
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the latest right row (all
     its non-key columns, null when no right row precedes) with the same
@@ -52,6 +53,9 @@ def asof_join(
     ``tiebreak``: right column ordering ties at identical ``right_ts``
     (the greatest wins), making the match deterministic when a key has
     two right rows at the same timestamp. Required if such ties exist.
+    ``tolerance``: max lookback — a match further than this behind the
+    left timestamp is nulled out (pandas ``merge_asof(tolerance=...)``
+    semantics, applied post-window so the plan is unchanged).
     Output columns: ``on`` + left non-key columns + right non-key
     columns (caller aliases beforehand to avoid collisions).
     """
@@ -93,9 +97,14 @@ def asof_join(
     u = lp.unionByName(rp).withColumn(
         _MATCH, F.last(_RPAY, ignorenulls=True).over(w)
     )
+    match = F.col(_MATCH)
+    if tolerance is not None:
+        match = F.when(
+            F.col(_TS) - match[right_ts] <= F.lit(tolerance), match
+        )
     out = u.where(F.col(_SIDE) == 1).select(
         *on,
         *[F.col(f"{_LPAY}.{c}").alias(c) for c in lcols],
-        *[F.col(f"{_MATCH}.{c}").alias(c) for c in rcols],
+        *[match[c].alias(c) for c in rcols],
     )
     return out

@@ -217,3 +217,56 @@ def test_point_in_interval_join_matches_bruteforce(spark):
             zip(want.pid, want.iid)
         ), f"width={width}"
         assert len(got) > 0
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance nulls matches older than the lookback, == pandas
+    merge_asof(tolerance=...)."""
+    import numpy as np
+    import pandas as pd
+
+    from debezium_connector_spanner_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 3, 50),
+            "lt": rng.randint(0, 100, 50).astype("int64"),
+            "lid": np.arange(50, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 3, 20),
+            "rt": rng.randint(0, 100, 20).astype("int64"),
+            "rv": np.arange(500, 520, dtype="int64"),
+        }
+    )
+    right = right.sort_values("rv").groupby(["k", "rt"], as_index=False).last()
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on=["k"],
+            left_ts="lt",
+            right_ts="rt",
+            tolerance=15,
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("lt", kind="stable"),
+        right.sort_values("rt", kind="stable"),
+        left_on="lt",
+        right_on="rt",
+        by="k",
+        tolerance=15,
+    ).sort_values("lid").reset_index(drop=True)
+    assert got["rv"].fillna(-1).astype("int64").tolist() == want["rv"].fillna(
+        -1
+    ).astype("int64").tolist()
+    # some matches must actually be dropped by the tolerance for the
+    # test to mean anything
+    assert want["rv"].isna().sum() > 0
