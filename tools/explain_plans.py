@@ -70,7 +70,7 @@ def main():
                  "events_sessions", "events_value_quantiles",
                  "events_asof_attribution",
                  "events_purchases_in_click_sessions",
-                 "parts_never_ordered"]:
+                 "orders_cube", "parts_never_ordered"]:
         out.append(summarize(name, plan_of(ANALYTIC_QUERIES[name](spark, SF))))
     for name in ["docs_jaccard_pairs", "docs_minhash_lsh_pairs", "docs_fingerprint",
                  "emb_topk_bruteforce", "emb_topk_lsh", "emb_near_dup_pairs"]:
