@@ -757,3 +757,48 @@ WHERE {_SQL_ID_HASH} % 100 < 10
 
 PIPELINE_QUERIES.update({"docs_stratified_sample": q_docs_stratified_sample})
 _EXTRA_ORACLES["docs_stratified_sample"] = SQL_DOCS_STRATIFIED_SAMPLE
+
+
+def q_docs_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-100 word bigrams — the wordcount-at-scale shape:
+    explode → map-side-combined count → global top-k. The top-k is
+    orderBy().limit(), which Spark plans as TakeOrderedAndProject
+    (per-partition partial top-k merged on the driver — no global sort,
+    no single-partition window). Tie order is total (count desc, bigram
+    asc) so the result set is deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array()
+    ).otherwise(
+        F.transform(
+            F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(w, i + 2)),
+        )
+    )
+    return (
+        d.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(100)
+    )
+
+
+SQL_DOCS_TOP_BIGRAMS = r"""
+WITH toks AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+  FROM documents
+), grams AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+    THEN [w[i+1] || ' ' || w[i+2] for i in range(len(w) - 1)]
+    ELSE [] END) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n FROM grams
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100
+"""
+
+PIPELINE_QUERIES.update({"docs_top_bigrams": q_docs_top_bigrams})
+_EXTRA_ORACLES["docs_top_bigrams"] = SQL_DOCS_TOP_BIGRAMS
