@@ -209,9 +209,11 @@ class CdcReplayEngine:
         self._ckpt_future = None
         self.skew_mode = skew_mode
         self.skew_threshold = skew_threshold
-        # adaptive-skew state: per-table max key-hash-cell share observed
-        # in the LAST batch (drives this batch's fused-vs-salted choice,
-        # one-batch reaction lag like the reference's rebalancer)
+        # adaptive-skew state: per-table hottest-key share of the LAST
+        # batch's mods (drives this batch's fused-vs-salted choice,
+        # one-batch reaction lag like the reference's rebalancer). Derived
+        # from the fold's own _n_mods output (post-aggregation rows), not
+        # a per-raw-row histogram — zero cost on the 4M-row decode path.
         self._hot_share: dict[str, float] = {}
         self.table_include = table_include
         self.table_exclude = table_exclude
@@ -605,12 +607,16 @@ class CdcReplayEngine:
                     decode_proto_wire,
                 )
 
-                # same pruning layers; the Arrow-batched proto decode
-                # runs post-filter on the pruned slice only
-                log = self.spark.read.schema(PROTO_LOG_SCHEMA).parquet(
-                    os.path.join(self.events_path, "events_proto")
-                )
-                self._events_cached = decode_proto_wire(log)
+                # Catalyst cannot push predicates through mapInPandas, so
+                # the RAW log is cached separately: _active_scan applies
+                # every pruning layer to it FIRST (token dirs, ts
+                # row-group stats, per-token offset join) and only then
+                # decodes the pruned slice. This decoded view exists for
+                # whole-log consumers (envelope_stream).
+                self._proto_log_cached = self.spark.read.schema(
+                    PROTO_LOG_SCHEMA
+                ).parquet(os.path.join(self.events_path, "events_proto"))
+                self._events_cached = decode_proto_wire(self._proto_log_cached)
             else:
                 # pin the schema: no per-batch footer/partition inference
                 self._events_cached = self.spark.read.schema(EVENT_LOG_SCHEMA).parquet(
@@ -644,7 +650,19 @@ class CdcReplayEngine:
         # identical (inner join on partition_token keeps exactly the
         # active tokens) and dynamic partition pruning recovers the dir
         # pruning at runtime from the broadcast side.
+        # Proto wire: prune the RAW log (filters on plain log columns push
+        # to the parquet scan) and decode only the surviving slice —
+        # filters placed above the mapInPandas decode would not push
+        # through it, and every batch would Python-decode the full log.
+        decoder = None
         ev = self._events_df()
+        if self.wire_format == "proto":
+            from debezium_connector_spanner_spark.sources.proto_wire import (
+                decode_proto_wire,
+            )
+
+            ev = self._proto_log_cached
+            decoder = decode_proto_wire
         if len(active) <= self.token_inlist_max:
             ev = ev.where(F.col("partition_token").isin(active))
         ev = ev.where(
@@ -652,7 +670,10 @@ class CdcReplayEngine:
             & (F.col("commit_ts") <= F.timestamp_micros(F.lit(batch_end_us)))
         )
         ev = ev.join(F.broadcast(offsets), "partition_token")
-        return ev.where(F.unix_micros("commit_ts") > F.col("_offset_us"))
+        ev = ev.where(F.unix_micros("commit_ts") > F.col("_offset_us"))
+        if decoder is not None:
+            ev = decoder(ev.drop("_offset_us"))
+        return ev
 
     def _data_scan(self, scan: DataFrame) -> DataFrame:
         """D10: include/exclude table routing applied before dispatch
@@ -830,13 +851,13 @@ class CdcReplayEngine:
             for name, st in self.tables.items():
                 if name not in attempts:  # filtered out by D10: untouched
                     continue
-                opt_sid, opt_obs, per_token = attempts[name]
+                opt_sid, opt_obs, per_token, _fold_obs = attempts[name]
                 if name not in tables_with_data:
                     # optimistic merge ran on an empty slice: discard the
                     # empty snapshot (pointer flip; orphan files are inert)
                     if opt_sid != prev_sids[name]:
                         st.table.rollback(prev_sids[name])
-                    attempts[name] = (prev_sids[name], None, per_token)
+                    attempts[name] = (prev_sids[name], None, per_token, None)
                 elif (
                     st.schema.column_types_json()
                     != schemas_used[name].column_types_json()
@@ -881,20 +902,19 @@ class CdcReplayEngine:
             data_counts: dict[str, int] = {}
             data_max_ts: dict[str, int] = {}
             for name in attempts:
-                opt_sid, opt_obs, per_token = attempts[name]
+                opt_sid, opt_obs, per_token, fold_obs = attempts[name]
                 if opt_obs is None:
                     continue
                 got = opt_obs.get
                 mods += got["_n_rec_total"]
-                if self.skew_mode == "adaptive" and got["_n_mods_total"]:
-                    self._hot_share[name] = round(
-                        max(
-                            got.get(f"_hk_{i}") or 0
-                            for i in range(self.SKEW_PROBE_CELLS)
+                if fold_obs is not None:
+                    fg = fold_obs.get
+                    if fg.get("_sum_key_mods"):
+                        self._hot_share[name] = round(
+                            (fg.get("_max_key_mods") or 0)
+                            / fg["_sum_key_mods"],
+                            4,
                         )
-                        / got["_n_mods_total"],
-                        4,
-                    )
                 for i, tok in enumerate(per_token):
                     if got[f"_n_{i}"]:
                         data_counts[tok] = data_counts.get(tok, 0) + got[f"_n_{i}"]
@@ -1066,12 +1086,6 @@ class CdcReplayEngine:
             f.write(json.dumps(metric) + "\n")
         return metric
 
-    # key-hash histogram cells observed per merge for adaptive skew —
-    # coarse on purpose: a cell holding >=60% of a batch's mods implies a
-    # dominating key (cells are 1/16 of hash space; uniform keys put ~6%
-    # per cell), at the cost of 16 JVM-side sums riding the existing job
-    SKEW_PROBE_CELLS = 16
-
     def _maybe_grow(self, st: TableState, batch_id: int) -> int | None:
         """Auto-bucket scaling check, run right after a compaction (the
         moment base sizes are authoritative)."""
@@ -1113,12 +1127,11 @@ class CdcReplayEngine:
         """decode -> fold -> MERGE one table with per-token lineage
         Observation.
 
-        Returns (snapshot_id, observation, per_token_list). Commits a
-        snapshot; the caller may roll it back (schema retry / empty slice).
+        Returns (snapshot_id, observation, per_token_list, fold_obs).
+        Commits a snapshot; the caller may roll it back (schema retry /
+        empty slice).
         """
         from pyspark.sql import Observation
-
-        from debezium_connector_spanner_spark.sources.lake import bucket_expr
 
         table = self.tables[name].table
         decoded = decode_mods(scan, schema, use_pandas_udf=self.use_pandas_udf_decode)
@@ -1128,16 +1141,6 @@ class CdcReplayEngine:
             F.count(F.lit(1)).alias("_n_mods_total"),
             F.sum(F.when(is_rec, 1).otherwise(0)).alias("_n_rec_total"),
         ]
-        if self.skew_mode == "adaptive":
-            # materialize the key-hash cell ONCE per row; the 16 histogram
-            # sums then reduce to integer compares in the metrics collector
-            decoded = decoded.withColumn(
-                "_skewcell", bucket_expr(schema.key_columns, self.SKEW_PROBE_CELLS)
-            )
-            for i in range(self.SKEW_PROBE_CELLS):
-                obs_aggs.append(
-                    F.sum((F.col("_skewcell") == i).cast("long")).alias(f"_hk_{i}")
-                )
         # per-token lineage rides along when the active set is small;
         # beyond the cap only global counters are observed
         per_token = active if len(active) <= 64 else []
@@ -1166,6 +1169,18 @@ class CdcReplayEngine:
                 schema.value_columns,
                 n_buckets=table.n_buckets(),
             )
+        # adaptive-skew probe rides the POST-fold rows (one per key, ~10x
+        # fewer than raw mods, already being written): hot share is the
+        # hottest single key's fraction of the batch's mods, read straight
+        # from the fold's own _n_mods aggregate — no per-raw-row work.
+        fold_obs = None
+        if self.skew_mode == "adaptive":
+            fold_obs = Observation(f"fold-{batch_id}-{name}-a{attempt}")
+            folded = folded.observe(
+                fold_obs,
+                F.max("_n_mods").alias("_max_key_mods"),
+                F.sum("_n_mods").alias("_sum_key_mods"),
+            )
         sid, _ = merge_into(
             table,
             folded,
@@ -1176,7 +1191,7 @@ class CdcReplayEngine:
             # the probe job (empty buckets add no files)
             assume_all_buckets=True,
         )
-        return sid, obs, per_token
+        return sid, obs, per_token, fold_obs
 
     # ------------------------------------------------------------ views
     @property
