@@ -25,6 +25,12 @@ DATA_CHANGE = "data_change"
 HEARTBEAT = "heartbeat"
 CHILD_PARTITIONS = "child_partitions"
 PARTITION_END = "partition_end"
+# proto-dialect-only partition lifecycle records (mutable-key-range mode;
+# db/model/event/PartitionStartEvent.java / PartitionEventEvent.java).
+# Mapped but consumed by nothing downstream in the reference either —
+# surfaced as control rows for lineage, ignored by the DAG gate.
+PARTITION_START = "partition_start"
+PARTITION_EVENT = "partition_event"
 
 INITIAL_PARTITION_TOKEN = "Parent0"  # db/model/InitialPartition.java:25
 

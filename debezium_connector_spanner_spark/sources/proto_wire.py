@@ -13,6 +13,33 @@ Message layout (standard proto3 wire encoding — varint / len-delimited):
     ChangeStreamRecord (oneof record):
       1  DataChangeRecord      2  HeartbeatRecord
       3  ChildPartitionsRecord 4  PartitionEndRecord
+      5  PartitionStartRecord  6  PartitionEventRecord
+
+    (5/6 are the mutable-key-range proto-mode lifecycle records the
+    reference maps — ChangeStreamRecordMapper.java:589-623,
+    db/model/event/PartitionStartEvent.java / PartitionEventEvent.java.
+    Field NUMBERS here follow this log's own layout, not
+    google.spanner.v1 oneof numbering, because 3/4 were already taken.)
+
+    PartitionStartRecord:   1 start_timestamp (Timestamp)
+                            2 record_sequence (string)
+                            3 repeated partition_tokens (string)
+    PartitionEventRecord:   1 commit_timestamp (Timestamp)
+                            2 record_sequence (string)
+                            3 repeated MoveInEvent  (1=source_partition_token)
+                            4 repeated MoveOutEvent (1=destination_partition_token)
+
+    Both decode to control rows in the canonical schema with the move /
+    start lineage carried as child_partitions edges: a start record's
+    announced tokens become {token, parents: []}; a move-in from S
+    becomes {token: <this partition>, parents: [S...]}; a move-out to D
+    becomes {token: D, parents: [<this partition>]}. The record's own
+    partition is the log row's partition_token column (as in Spanner,
+    where the record is emitted within the partition it concerns). The
+    DAG gate keys on record_type == 'child_partitions', so these rows
+    surface lineage without altering replay semantics — matching the
+    reference, where PartitionStartEvent / PartitionEventEvent are
+    mapped but consumed by no downstream component.
 
     DataChangeRecord:
       1  commit_timestamp  (google.protobuf.Timestamp: 1=seconds 2=nanos)
@@ -76,6 +103,8 @@ from debezium_connector_spanner_spark.sources.event_schema import (
     EVENT_LOG_SCHEMA,
     HEARTBEAT,
     PARTITION_END,
+    PARTITION_EVENT,
+    PARTITION_START,
 )
 
 # On-disk proto-wire log: token + commit_ts columns mirror the query
@@ -102,6 +131,11 @@ VCT_NAME = {v: k for k, v in VCT_ENUM.items()}
 
 # ------------------------------------------------------------- encoding
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # Python's arithmetic right shift would loop forever; this log
+        # never carries negative values (pre-1970 timestamps / negative
+        # counts are rejected upstream), so fail loudly over hanging.
+        raise ValueError(f"negative varint not supported: {n}")
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -169,13 +203,35 @@ def encode_record(r: dict) -> bytes:
         return _field_len(2, _ts_message(1, r["commit_ts_us"]))
     if rt == CHILD_PARTITIONS:
         body = _ts_message(1, r["commit_ts_us"])
-        body += _field_str(2, r["record_sequence"] or "0")
+        # encoded as-is: proto3 omits ''/None on the wire and decode
+        # restores None — '' and None collapse (documented, proto3
+        # presence semantics), every other value round-trips faithfully
+        body += _field_str(2, r["record_sequence"])
         for c in r["child_partitions"] or []:
             cp = _field_str(1, c["token"])
             for p in c["parent_partition_tokens"]:
                 cp += _field_str(2, p)
             body += _field_len(3, cp)
         return _field_len(3, body)
+    if rt == PARTITION_START:
+        body = _ts_message(1, r["commit_ts_us"])
+        body += _field_str(2, r["record_sequence"])
+        for c in r["child_partitions"] or []:
+            body += _field_str(3, c["token"])
+        return _field_len(5, body)
+    if rt == PARTITION_EVENT:
+        body = _ts_message(1, r["commit_ts_us"])
+        body += _field_str(2, r["record_sequence"])
+        # invert the edge-list convention (see module docstring): edges
+        # pointing AT this partition are move-ins, edges FROM it move-outs
+        own = r["partition_token"]
+        for c in r["child_partitions"] or []:
+            if c["token"] == own:
+                for src in c["parent_partition_tokens"]:
+                    body += _field_len(3, _field_str(1, src))
+            else:
+                body += _field_len(4, _field_str(1, c["token"]))
+        return _field_len(6, body)
     return _field_len(4, _ts_message(1, r["commit_ts_us"]))  # PARTITION_END
 
 
@@ -323,9 +379,50 @@ def _decode_child_partitions(buf: memoryview) -> dict:
     return out
 
 
-def decode_record(raw: bytes) -> dict:
+def _decode_partition_start(buf: memoryview) -> dict:
+    out = dict(_NON_DATA_DEFAULTS, record_type=PARTITION_START, child_partitions=[])
+    for f, v in _parse_fields(buf):
+        if f == 2:
+            out["record_sequence"] = _s(v)
+        elif f == 3:
+            out["child_partitions"].append(
+                {"token": _s(v), "parent_partition_tokens": []}
+            )
+    return out
+
+
+def _decode_partition_event(buf: memoryview, own_token: str | None) -> dict:
+    out = dict(_NON_DATA_DEFAULTS, record_type=PARTITION_EVENT, child_partitions=[])
+    move_in_sources: list[str] = []
+    for f, v in _parse_fields(buf):
+        if f == 2:
+            out["record_sequence"] = _s(v)
+        elif f == 3:  # MoveInEvent
+            for mf, mv in _parse_fields(v):
+                if mf == 1:
+                    move_in_sources.append(_s(mv))
+        elif f == 4:  # MoveOutEvent
+            for mf, mv in _parse_fields(v):
+                if mf == 1:
+                    out["child_partitions"].append(
+                        {
+                            "token": _s(mv),
+                            "parent_partition_tokens": [own_token],
+                        }
+                    )
+    if move_in_sources:
+        out["child_partitions"].insert(
+            0,
+            {"token": own_token, "parent_partition_tokens": move_in_sources},
+        )
+    return out
+
+
+def decode_record(raw: bytes, partition_token: str | None = None) -> dict:
     """Serialized ChangeStreamRecord -> dict of EVENT_LOG_SCHEMA fields
-    (minus partition_token/commit_ts, which ride the log columns)."""
+    (minus partition_token/commit_ts, which ride the log columns).
+    ``partition_token`` (the log row's) anchors PartitionEventRecord
+    move edges; unused for every other record kind."""
     for f, v in _parse_fields(memoryview(raw)):
         if f == 1:
             return _decode_data_change(v)
@@ -335,6 +432,10 @@ def decode_record(raw: bytes) -> dict:
             return _decode_child_partitions(v)
         if f == 4:
             return dict(_NON_DATA_DEFAULTS, record_type=PARTITION_END)
+        if f == 5:
+            return _decode_partition_start(v)
+        if f == 6:
+            return _decode_partition_event(v, partition_token)
     raise ValueError("empty ChangeStreamRecord")
 
 
@@ -351,7 +452,12 @@ def decode_proto_wire(log: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [decode_record(raw) for raw in pdf["record_bytes"]]
+            if not len(pdf):  # from_records([]) would yield a columnless frame
+                continue
+            rows = [
+                decode_record(raw, tok)
+                for raw, tok in zip(pdf["record_bytes"], pdf["partition_token"])
+            ]
             out = pd.DataFrame.from_records(rows)
             out["partition_token"] = pdf["partition_token"].values
             out["commit_ts"] = pdf["commit_ts"].values

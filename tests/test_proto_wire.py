@@ -92,6 +92,65 @@ def test_record_roundtrip():
     assert pe["record_type"] == "partition_end"
 
 
+def test_partition_lifecycle_roundtrip():
+    """Proto-mode PartitionStartRecord / PartitionEventRecord (move
+    lineage) decode to control rows carrying the same edges they were
+    encoded from (ChangeStreamRecordMapper.java:589-623 proto paths)."""
+    start = {
+        "record_type": "partition_start",
+        "commit_ts_us": 42,
+        "record_sequence": "7",
+        "child_partitions": [
+            {"token": "tA", "parent_partition_tokens": []},
+            {"token": "tB", "parent_partition_tokens": []},
+        ],
+    }
+    got = decode_record(encode_record(start))
+    assert got["record_type"] == "partition_start"
+    assert got["record_sequence"] == "7"
+    assert got["child_partitions"] == start["child_partitions"]
+
+    move = {
+        "record_type": "partition_event",
+        "commit_ts_us": 43,
+        "record_sequence": "8",
+        "partition_token": "tSelf",
+        "child_partitions": [
+            # move-ins: edges pointing AT this partition
+            {"token": "tSelf", "parent_partition_tokens": ["src1", "src2"]},
+            # move-outs: edges FROM this partition
+            {"token": "dst1", "parent_partition_tokens": ["tSelf"]},
+            {"token": "dst2", "parent_partition_tokens": ["tSelf"]},
+        ],
+    }
+    got = decode_record(encode_record(move), partition_token="tSelf")
+    assert got["record_type"] == "partition_event"
+    assert got["record_sequence"] == "8"
+    assert got["child_partitions"] == move["child_partitions"]
+
+
+def test_varint_rejects_negative():
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_record({"record_type": "heartbeat", "commit_ts_us": -1})
+
+
+def test_empty_record_sequence_collapses_to_none():
+    # proto3 presence: '' is not emitted on the wire, decode restores None
+    got = decode_record(
+        encode_record(
+            {
+                "record_type": "child_partitions",
+                "commit_ts_us": 5,
+                "record_sequence": "",
+                "child_partitions": [],
+            }
+        )
+    )
+    assert got["record_sequence"] is None
+
+
 def test_proto_decode_matches_struct_wire(spark, tmp_root):
     fx = _fixture(tmp_root)
     canon = spark.read.schema(EVENT_LOG_SCHEMA).parquet(os.path.join(fx, "events"))
@@ -141,6 +200,98 @@ def test_proto_replay_matches_oracle(spark, tmp_root):
     )
     totals = eng.run()
     assert totals["events"] > 0
+    got = (
+        eng.final_state().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want = fold_final_state(fx).sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_lifecycle_records_surface_without_changing_replay(spark, tmp_root):
+    """A proto log containing PartitionStartRecord / PartitionEventRecord
+    rows replays to the identical final state (the DAG gate keys on
+    record_type='child_partitions'), while decode surfaces them as
+    control rows with their move lineage."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fx = _fixture(tmp_root)
+    proto_root = os.path.join(fx, "events_proto")
+    tok_dir = sorted(
+        d for d in os.listdir(proto_root) if d.startswith("partition_token=")
+    )[0]
+    own = tok_dir.split("=", 1)[1]
+    ts_us = EPOCH_MICROS + 100 * 1_000_000  # mid-window: survives pruning
+    blobs = [
+        encode_record(
+            {
+                "record_type": "partition_start",
+                "commit_ts_us": ts_us,
+                "record_sequence": "1",
+                "child_partitions": [
+                    {"token": "started-1", "parent_partition_tokens": []}
+                ],
+            }
+        ),
+        encode_record(
+            {
+                "record_type": "partition_event",
+                "commit_ts_us": ts_us + 1,
+                "record_sequence": "2",
+                "partition_token": own,
+                "child_partitions": [
+                    {"token": own, "parent_partition_tokens": ["moved-src"]},
+                    {"token": "moved-dst", "parent_partition_tokens": [own]},
+                ],
+            }
+        ),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "commit_ts": pa.array(
+                    [pd.Timestamp(ts_us, unit="us", tz="UTC")] * 2,
+                    type=pa.timestamp("us", tz="UTC"),
+                ),
+                "record_bytes": pa.array(blobs, type=pa.binary()),
+            }
+        ),
+        os.path.join(proto_root, tok_dir, "part-lifecycle.parquet"),
+    )
+
+    # decode surfaces the control rows with their lineage edges
+    decoded = decode_proto_wire(
+        spark.read.schema(PROTO_LOG_SCHEMA).parquet(proto_root)
+    )
+    ctrl = {
+        r["record_type"]: r
+        for r in decoded.where(
+            F.col("record_type").isin("partition_start", "partition_event")
+        ).collect()
+    }
+    assert ctrl["partition_start"]["child_partitions"][0]["token"] == "started-1"
+    ev_edges = [
+        (c["token"], list(c["parent_partition_tokens"]))
+        for c in ctrl["partition_event"]["child_partitions"]
+    ]
+    assert (own, ["moved-src"]) in ev_edges
+    assert ("moved-dst", [own]) in ev_edges
+
+    # ...and the replay's final state is byte-identical to the oracle
+    eng = CdcReplayEngine(
+        spark,
+        fx,
+        os.path.join(tmp_root, "t2"),
+        os.path.join(tmp_root, "c2"),
+        start_us=EPOCH_MICROS,
+        end_us=EPOCH_MICROS + CFG.duration_s * 1_000_000,
+        n_batches=4,
+        initial_schema=REPOS_SCHEMA_V1,
+        base_df=spark.read.parquet(os.path.join(fx, "base_repos.parquet")),
+        n_buckets=8,
+        wire_format="proto",
+    )
+    eng.run()
     got = (
         eng.final_state().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
     )
