@@ -261,9 +261,45 @@ class CdcReplayEngine:
                 tables = {}
 
         ckpt = self._load_latest_checkpoint()
+        # collected-errors validation BEFORE any side effect (table
+        # create / checkpoint write): every violation reported at once
+        # (config/validation/ConfigurationValidator.java:33-59)
+        from debezium_connector_spanner_spark.config import (
+            ConfigValidationError,
+            validate_engine_config,
+        )
+
+        cfg_errors = validate_engine_config(
+            events_path=events_path,
+            checkpoint_dir=checkpoint_dir,
+            start_us=start_us,
+            end_us=end_us,
+            n_batches=n_batches,
+            n_buckets=n_buckets,
+            wire_format=wire_format,
+            sink_mode=sink_mode,
+            compact_mode=compact_mode,
+            compact_every=compact_every,
+            skew_mode=skew_mode,
+            skew_threshold=skew_threshold,
+            stuck_policy=stuck_policy,
+            table_include=table_include,
+            table_exclude=table_exclude,
+            max_events_per_batch=max_events_per_batch,
+            gc_every=gc_every,
+            gc_keep=gc_keep,
+            grow_bucket_bytes=grow_bucket_bytes,
+            scaler_min=scaler_min,
+            scaler_max=scaler_max,
+            desired_tokens_per_task=desired_tokens_per_task,
+            events_per_task_target=events_per_task_target,
+            token_inlist_max=token_inlist_max,
+            tables=tables,
+            checkpoint=ckpt,
+        )
+        if cfg_errors:
+            raise ConfigValidationError(cfg_errors)
         if ckpt is None:
-            if not tables:
-                raise ValueError("initial_schema or tables required for a fresh engine")
             self._primary = next(iter(tables))
             self.start_us, self.end_us, self.n_batches = start_us, end_us, n_batches
             self.batch_id = -1
@@ -320,6 +356,12 @@ class CdcReplayEngine:
                 )
                 self._scaler._prev_active = sc["prev_active"]
         self.metrics_path = os.path.join(checkpoint_dir, "metrics.jsonl")
+        # M1-M3 counter/gauge/sketch surface (SpannerMeter.java:298-384);
+        # snapshots ride every metrics jsonl line
+        from debezium_connector_spanner_spark.streaming.meter import EngineMeter
+
+        self.meter = EngineMeter()
+        self.meter.event_queue_total_capacity = self.max_events_per_batch
 
     # ------------------------------------------------------------- layout
     def _table_path(self, name: str) -> str:
@@ -381,6 +423,7 @@ class CdcReplayEngine:
     def _checkpoint(self, snapshot_ids: dict[str, int], sync: bool = False) -> None:
         state = {
             "batch_id": self.batch_id,
+            "wire_format": self.wire_format,
             "start_us": self.start_us,
             "end_us": self.end_us,
             "n_batches": self.n_batches,
@@ -704,6 +747,8 @@ class CdcReplayEngine:
         tasks = self._scaler.step(self._work_units(active, batch_end_us))
         salt_width = max(min(16, self._scaler.tasks_max), tasks)
         scan = self._active_scan(active, batch_end_us) if active else None
+        if scan is not None:
+            self.meter.on_query()  # one change-stream query per batch window
 
         events = 0
         mods = 0
@@ -864,6 +909,7 @@ class CdcReplayEngine:
                 ):
                     # schema evolved mid-batch: invalidate and retry with
                     # the merged schema so the new columns are decoded
+                    self.meter.schema_retries_total += 1
                     st.table.rollback(prev_sids[name])
                     t_retry = time.monotonic()
                     attempts[name] = self._merge_attempt(
@@ -921,6 +967,13 @@ class CdcReplayEngine:
                         data_max_ts[tok] = max(
                             data_max_ts.get(tok, 0), got[f"_ts_{i}"] or 0
                         )
+            self.meter.on_query_done()
+            if data_max_ts:
+                # getDelayChangeStreamEvents analogue: how far behind the
+                # batch window's end the freshest observed event sits
+                self.meter.delay_change_stream_events_s.add(
+                    max(0.0, (batch_end_us - max(data_max_ts.values())) / 1e6)
+                )
             # MOR compaction: bound read-time delta depth; amortizes the
             # rewrite across compact_every batches (O13-adjacent state
             # bounding for the data files themselves). Default is the
@@ -1010,9 +1063,11 @@ class CdcReplayEngine:
 
         # watchdog actions (O7/O8)
         requeried: list[str] = []
+        self.meter.stuck_heartbeat_intervals += len(stuck)
         if stuck and self.stuck_policy == "fail":
             over = [t for t in stuck if self._stale_counts[t] >= 2 * self.max_stale_batches]
             if over:
+                self.meter.on_error()
                 raise RuntimeError(
                     f"stuck partitions exceeded watchdog threshold: {sorted(over)}"
                 )
@@ -1060,6 +1115,21 @@ class CdcReplayEngine:
             timings["gc_s"] = round(time.monotonic() - t_stage, 3)
 
         wall = time.monotonic() - t0
+        self.meter.detected_partition_count += len(new_children)
+        self.meter.requeried_tokens_total += len(requeried)
+        if self.meter.schema_retries_total and "schema_retry_s" in timings:
+            self.meter.on_error()  # retried attempt counts as one error
+        if self.max_events_per_batch is not None:
+            self.meter.event_queue_remaining_capacity = max(
+                0, self.max_events_per_batch - events
+            )
+        self.meter.maintenance_queue_remaining_capacity = len(self.tables) - len(
+            self._compact_futures
+        )
+        self.meter.batch_wall_s.add(wall)
+        self.meter.watermark_lag_s.add(
+            max(0.0, (batch_end_us - self.watermark_us) / 1e6)
+        )
         primary = next(iter(self.tables), None)
         metric = {
             "batch_id": batch_id,
@@ -1081,6 +1151,7 @@ class CdcReplayEngine:
             "events_per_sec": round(events / wall, 2) if wall > 0 else 0.0,
             "timings": timings,
             "lineage": lineage,
+            "meter": self.meter.snapshot(),
         }
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(metric) + "\n")
@@ -1278,4 +1349,7 @@ class CdcReplayEngine:
             "batch_tput_p95": q(tputs, 0.95) if tputs else 0,
             "watermark_final_us": ms[-1]["watermark_us"],
             "stuck_token_batches": sum(1 for m in ms if m.get("stuck_tokens")),
+            # M3: the full counter/gauge/sketch surface as of now
+            # (SpannerMeter field list; sketch quantiles at 0.5/0.95/0.99)
+            "meter": self.meter.snapshot(),
         }
