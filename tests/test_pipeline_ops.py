@@ -114,6 +114,103 @@ def test_multimodal_plumbing(spark):
     assert feats2 == {k: v["payload_sha256"] for k, v in by_id.items()}
 
 
+def _make_bmp(px) -> bytes:
+    """Hand-assemble an uncompressed 24-bit bottom-up BMP from an
+    HxWx3 uint8 RGB array (the format the built-in kernel decodes)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in px[::-1]:  # bottom-up
+        line = row[:, [2, 1, 0]].astype(np.uint8).tobytes()  # RGB->BGR
+        body += line + b"\x00" * (stride - len(line))
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + len(body), 0, 0, 54,
+        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return header + bytes(body)
+
+
+def _make_wav(samples, rate=8000) -> bytes:
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((np.asarray(samples) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_real_media_kernels_decode_and_extract(spark):
+    """The kernel ladder: real BMP/WAV payloads take the built-in
+    decoders (pixel/sample-exact vs numpy ground truth), synthetic
+    payloads fall through to the documented stub, and the selection is
+    recorded in SELECTED_KERNELS."""
+    import numpy as np
+
+    from debezium_connector_spanner_spark.functions.multimodal import (
+        FEATURE_SCHEMA,
+        SELECTED_KERNELS,
+        _features_audio,
+        _features_image,
+        _stub_features,
+        decode_bmp,
+        decode_features,
+        decode_wav,
+    )
+
+    assert SELECTED_KERNELS["image"] in ("pil", "bmp-builtin")
+    assert SELECTED_KERNELS["audio"] in ("soundfile", "wave-stdlib")
+    assert SELECTED_KERNELS["video"] == "stub"
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (decode_bmp(_make_bmp(px)) == px).all()  # pixel-exact round-trip
+
+    samples = np.sin(np.linspace(0, 20, 400)) * 0.8
+    got = decode_wav(_make_wav(samples))
+    assert np.abs(got - samples).max() < 1e-3  # PCM16 quantization only
+
+    # ladder: real payloads -> real features; junk -> stub
+    assert np.allclose(decode_features(_make_bmp(px), "image"), _features_image(px))
+    assert np.allclose(
+        decode_features(_make_wav(samples), "audio"),
+        _features_audio(got),
+    )
+    junk = b"not-media" * 40
+    assert np.allclose(decode_features(junk, "image"), _stub_features(junk))
+    assert np.allclose(decode_features(junk, "video"), _stub_features(junk))
+
+    # end-to-end through the Spark plumbing with REAL payloads
+    from debezium_connector_spanner_spark.functions.multimodal import (
+        extract_features,
+    )
+
+    rows = [
+        (1, "image", bytearray(_make_bmp(px)), None),
+        (2, "audio", bytearray(_make_wav(samples)), None),
+        (3, "video", bytearray(junk), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert np.allclose(out[1]["features"], _features_image(px))
+    assert abs(sum(out[2]["features"]) - 1.0) < 1e-6  # normalized histogram
+    assert np.allclose(out[3]["features"], _stub_features(junk))
+
+
 def test_pandas_udf_decode_matches_native(spark, tmp_root):
     """The Arrow pandas-UDF decode path (dynamic-schema fallback) must
     agree with the from_json fast path."""
