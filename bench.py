@@ -120,6 +120,51 @@ def run_cdc_replay(
     }
 
 
+def run_dialect_compare(spark) -> dict:
+    """Wire-dialect decode cost: the same mid-size replay (~410k events)
+    under struct (JVM columnar), proto (Arrow-batched Python varint
+    kernel) and pg_json (JVM variant_get) — reported as absolute walls +
+    ratios over struct. The proto/pg logs are derived once from the
+    canonical fixture and cached beside it. Pruning parity holds across
+    dialects (the raw proto log is filtered BEFORE mapInPandas), so the
+    ratio isolates pure decode cost."""
+    from debezium_connector_spanner_spark.fixtures.generator import (
+        write_pg_json_log,
+        write_proto_log,
+    )
+
+    cfg = bench_fixture_config(0.01)
+    fx = os.path.join(FIXTURE_ROOT, "bench-sf0.01")
+    m = write_fixture(fx, cfg)
+    write_proto_log(fx)
+    write_pg_json_log(fx)
+    base = spark.read.parquet(os.path.join(fx, "base_repos.parquet"))
+    out: dict = {"events": m["events"]}
+    for wire in ("struct", "proto", "pg_json"):
+        run_root = os.path.join(fx, f"bench-dialect-{wire}")
+        if os.path.exists(run_root):
+            shutil.rmtree(run_root)
+        t0 = time.monotonic()
+        eng = CdcReplayEngine(
+            spark,
+            fx,
+            os.path.join(run_root, "table"),
+            os.path.join(run_root, "ckpt"),
+            start_us=EPOCH_MICROS,
+            end_us=EPOCH_MICROS + cfg.duration_s * 1_000_000,
+            n_batches=4,
+            initial_schema=REPOS_SCHEMA_V1,
+            base_df=base,
+            n_buckets=64,
+            wire_format=wire,
+        )
+        eng.run()
+        out[f"{wire}_s"] = round(time.monotonic() - t0, 3)
+    out["proto_over_struct"] = round(out["proto_s"] / out["struct_s"], 2)
+    out["pg_over_struct"] = round(out["pg_json_s"] / out["struct_s"], 2)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_name = os.path.basename(sf_dir.rstrip("/"))
@@ -168,6 +213,9 @@ def main() -> None:
         n = fn(spark, sf_dir).count()
         extras.setdefault("new_ops_sec", {})[name] = round(time.monotonic() - t0, 3)
         extras.setdefault("rows", {})[name] = n
+
+    # wire-dialect decode-cost ratio (VERDICT r03 #6): proto target <=3x
+    extras["wire_dialects"] = run_dialect_compare(spark)
 
     # sf1 scale-up proof point (measured separately by tools/bench_sf1.py —
     # a ~41M-event replay is too heavy for the per-round bench loop; the
