@@ -181,3 +181,46 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: i
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= min_overlap
+    DISTINCT word n-grams with ANY benchmark document — the standard
+    train-set hygiene pass before LLM training.
+
+    The benchmark n-gram set is deduped and BROADCAST (benchmarks are
+    small by construction — exact-match eval sets, not corpora), so the
+    corpus side pays one broadcast hash join plus its per-doc count
+    aggregation (map-side combined); the corpus text itself never
+    shuffles. Every corpus doc appears in the output (n_overlap=0 when
+    clean) so the result doubles as the keep/drop routing table.
+    """
+    bench_sh = (
+        shingled(bench, id_col, text_col, n)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    corpus_inv = shingled(docs, id_col, text_col, n).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    hits = (
+        corpus_inv.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))  # shingles are distinct per doc
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_hits", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("_hits", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )

@@ -1141,3 +1141,332 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 ANALYTIC_QUERIES.update({"orders_cube": q_orders_cube})
 ANALYTIC_ORACLES.update({"orders_cube": SQL_ORDERS_CUBE})
+
+
+# ------------------------------------------- round-4 relational breadth
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations: the widest join
+    breadth in the suite — ONE fact-fact shuffle (lineitem x orders on
+    orderkey); customer/supplier/nation legs fold into two broadcast
+    maps built dim-side BEFORE touching the fact table, so the 5-way
+    join adds zero extra exchanges at 100x."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    cust_n = (
+        _t(spark, sf_dir, "customer")
+        .join(nat, F.col("c_nationkey") == nat.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_e2 = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(price_c * (100 - disc_e2)).alias("revenue_e4"))
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+  CAST(sum(vol_e4) AS BIGINT) AS revenue_e4
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+    CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT)) AS vol_e4
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1','NATION_2')
+    AND n2.n_name IN ('NATION_1','NATION_2')
+    AND n1.n_name <> n2.n_name
+) GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join with
+    an ON-clause filter (kept customers with zero qualifying orders must
+    surface as c_count=0), then a second aggregation over the first —
+    the double-agg shape. The second groupBy is over ~100 distinct
+    counts: its exchange is trivially small at any scale."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # counts non-null only
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: per-supplier revenue over a quarter, keep
+    the max-revenue supplier(s). The max is a 1-row aggregate broadcast
+    back onto the (already small) per-supplier rollup — no window over
+    the full frame, no second scan of the fact table."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_e2 = F.round(F.col("l_discount") * 100).cast("long")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(price_c * (100 - disc_e2)).alias("total_revenue_e4")
+    )
+    top = revenue.agg(F.max("total_revenue_e4").alias("_max_rev"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(
+            F.broadcast(top), revenue.total_revenue_e4 == top._max_rev
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_e4")
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey,
+    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+      AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_e4
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue)
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: the correlated per-part
+    AVG subquery decorrelated into an aggregate-then-broadcast-join
+    (per-part sums are |parts|-sized — broadcastable at any SF since
+    parts ~ fixed catalog). The 0.2*avg threshold compares in exact
+    integer space (5*qty*cnt < sum_qty) — no float division drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_e2 = F.round(F.col("l_quantity") * 100).cast("long")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty_e2).alias("_sum_qty_e2"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    parts = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(F.broadcast(per_part), "l_partkey")
+        .where(qty_e2 * 5 * F.col("_cnt") < F.col("_sum_qty_e2"))
+        .agg(
+            F.sum(price_c).alias("total_price_cents"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+SQL_TPCH_Q17 = """
+SELECT
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+    AS total_price_cents,
+  CAST(count(*) AS BIGINT) AS n_small_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (
+  SELECT l_partkey AS pk,
+    CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+) ON l_partkey = pk
+WHERE p_brand = 'Brand#3'
+  AND CAST(round(l_quantity*100) AS BIGINT) * 5 * cnt < sum_qty_e2
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average balance and NO urgent orders — a scalar aggregate
+    broadcast as a threshold plus a LEFT ANTI join against the urgent
+    order custkeys (every synthetic customer has SOME order, so the
+    classic no-orders predicate would be vacuously empty), grouped
+    by market segment (the schema's stand-in for the phone country
+    code). The above-avg compare cross-multiplies in cents (bal*cnt >
+    sum) so both engines decide identically."""
+    cust = _t(spark, sf_dir, "customer")
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = cust.where(F.col("c_acctbal") > 0)
+    thresh = pos.agg(
+        F.sum(bal_c).alias("_sum_bal"), F.count(F.lit(1)).alias("_cnt")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))  # 1-row scalar threshold
+        .where(bal_c * F.col("_cnt") > F.col("_sum_bal"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal_c).alias("totacctbal_cents"),
+        )
+    )
+
+
+SQL_TPCH_Q22 = """
+WITH t AS (
+  SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+  CAST(count(*) AS BIGINT) AS numcust,
+  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+FROM customer, t
+WHERE CAST(round(c_acctbal*100) AS BIGINT) * cnt > sum_bal
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+ANALYTIC_QUERIES.update(
+    {
+        "tpch_q7": q_tpch_q7,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
+    }
+)
+ANALYTIC_ORACLES.update(
+    {
+        "tpch_q7": SQL_TPCH_Q7,
+        "tpch_q13": SQL_TPCH_Q13,
+        "tpch_q15": SQL_TPCH_Q15,
+        "tpch_q17": SQL_TPCH_Q17,
+        "tpch_q22": SQL_TPCH_Q22,
+    }
+)
+
+
+def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a GENUINE Structured Streaming query: Spark's
+    native session_window (gap-merging stateful operator) over the
+    events file stream, drained with trigger(availableNow) into a
+    complete-mode memory sink. Must hash-equal the batch gaps-and-islands
+    rollup (events_sessions minus the ordinal session_id): streaming and
+    replay paths segment identically.
+
+    session_window's end is last_event_ts + gap, so the emitted
+    session_end_us subtracts the gap back to the last event — making the
+    output directly comparable with max(ts) in the batch/DuckDB fold.
+    Boundary note: session_window merges strictly-closer-than-gap events
+    while the batch query splits on diff > gap; the two differ only for
+    a pair at EXACTLY the 30-minute mark, which the µs-resolution
+    synthetic stream never produces (and the hash compare would catch).
+    """
+    gap_us = 30 * 60 * 1_000_000
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        sdf = spark.readStream.schema(schema).parquet(path)
+    else:
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(path))
+            .parquet(sf_dir)
+        )
+    agg = (
+        sdf.groupBy(
+            "user_id",
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias(
+                "sw"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).alias(
+                "sum_value_e6"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            (F.unix_micros("sw.end") - F.lit(gap_us)).alias("session_end_us"),
+            "n_events",
+            "sum_value_e6",
+        )
+    )
+    name = "events_sessions_stream_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SQL_EVENTS_SESSIONS_STREAM = """
+SELECT user_id,
+  min(epoch_us(ts)) AS session_start_us,
+  max(epoch_us(ts)) AS session_end_us,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
+FROM (
+  SELECT user_id, ts, value,
+    sum(new_flag) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+  FROM (
+    SELECT user_id, ts, value,
+      CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+           THEN 1 ELSE 0 END AS new_flag
+    FROM (
+      SELECT user_id, ts, value,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    )
+  )
+) GROUP BY user_id, session_id
+"""
+
+ANALYTIC_QUERIES.update({"events_sessions_stream": q_events_sessions_stream})
+ANALYTIC_ORACLES.update({"events_sessions_stream": SQL_EVENTS_SESSIONS_STREAM})

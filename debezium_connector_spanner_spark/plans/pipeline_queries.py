@@ -802,3 +802,57 @@ GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100
 
 PIPELINE_QUERIES.update({"docs_top_bigrams": q_docs_top_bigrams})
 _EXTRA_ORACLES["docs_top_bigrams"] = SQL_DOCS_TOP_BIGRAMS
+
+
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set decontamination against a deterministic 'benchmark'
+    slice (doc_id % 97 == 0 stands in for an eval set): every other doc
+    is scored by how many distinct 5-grams it shares with ANY benchmark
+    doc and flagged at >=3 overlaps. Benchmark grams broadcast; corpus
+    text never shuffles (functions/dedup.py decontaminate)."""
+    from debezium_connector_spanner_spark.functions.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=5, min_overlap=3)
+
+
+SQL_DOCS_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 5
+           THEN [array_to_string(w[i+1:i+5], ' ') for i in range(len(w) - 4)]
+           ELSE [] END) AS shingles
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE doc_id % 97 = 0
+),
+corpus AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE doc_id % 97 <> 0
+),
+hits AS (
+  SELECT doc_id, count(*) AS n FROM corpus JOIN bench USING (sh) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(n, 0) AS BIGINT) AS n_overlap,
+  coalesce(n, 0) >= 3 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits USING (doc_id)
+"""
+
+PIPELINE_QUERIES.update({"docs_decontaminate": q_docs_decontaminate})
+_BASE_PIPELINE_ORACLES = pipeline_oracles
+
+
+def pipeline_oracles() -> dict[str, str]:  # noqa: F811 — extend the base map
+    out = _BASE_PIPELINE_ORACLES()
+    out["docs_decontaminate"] = SQL_DOCS_DECONTAMINATE
+    return out

@@ -516,8 +516,10 @@ class CdcReplayEngine:
 
     def _probe_count(self, active: list[str], batch_end_us: int) -> int:
         """Cheap row-count probe of the would-be batch window (row-group
-        pruned; reads no mod payloads)."""
-        return self._active_scan(active, batch_end_us).count()
+        pruned; reads no mod payloads). One row per record in every wire
+        layout, so the proto path counts the RAW pruned log — no Python
+        decode just to count."""
+        return self._active_scan(active, batch_end_us, decode=False).count()
 
     def _size_batch(self, active: list[str], target_end_us: int) -> int:
         """K3 batch sizing: pick a window whose expected event count fits
@@ -667,7 +669,9 @@ class CdcReplayEngine:
                 )
         return self._events_cached
 
-    def _active_scan(self, active: list[str], batch_end_us: int) -> DataFrame:
+    def _active_scan(
+        self, active: list[str], batch_end_us: int, decode: bool = True
+    ) -> DataFrame:
         offsets = self.spark.createDataFrame(
             [
                 (t, self.tokens[t].offset_us or self.tokens[t].start_us - 1)
@@ -714,7 +718,7 @@ class CdcReplayEngine:
         )
         ev = ev.join(F.broadcast(offsets), "partition_token")
         ev = ev.where(F.unix_micros("commit_ts") > F.col("_offset_us"))
-        if decoder is not None:
+        if decoder is not None and decode:
             ev = decoder(ev.drop("_offset_us"))
         return ev
 

@@ -65,8 +65,9 @@ def main():
     from debezium_connector_spanner_spark.plans.pipeline_queries import PIPELINE_QUERIES
 
     for name in ["tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-                 "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q16", "tpch_q18",
-                 "tpch_q19", "events_lww_latest", "events_user_rank",
+                 "tpch_q7", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14",
+                 "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+                 "tpch_q19", "tpch_q22", "events_lww_latest", "events_user_rank",
                  "events_sessions", "events_value_quantiles",
                  "events_asof_attribution",
                  "events_purchases_in_click_sessions",
