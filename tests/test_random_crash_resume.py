@@ -1,0 +1,105 @@
+"""Randomized crash/resume property: for random generator profiles,
+batch counts and crash schedules, a replay interrupted at ARBITRARY
+batch boundaries (any number of times) must produce the byte-identical
+final state of an uninterrupted replay — i.e. the independent pandas
+oracle. Generalizes test_resume_from_checkpoint's single fixed crash
+(GracefulRestartIT.java:44-73) to the whole schedule space.
+
+Every restart is a brand-new engine object resuming purely from the
+persisted checkpoint (no shared in-memory state), with engine knobs
+(skew mode, sink mode, batch sizing) drawn from the same seed so the
+property covers the configuration cross-product over rounds of runs.
+"""
+
+import os
+import random
+
+import pandas as pd
+
+from debezium_connector_spanner_spark.fixtures.generator import (
+    EPOCH_MICROS,
+    GeneratorConfig,
+    write_fixture,
+)
+from debezium_connector_spanner_spark.fixtures.oracle import fold_final_state
+from debezium_connector_spanner_spark.sources.event_schema import REPOS_SCHEMA_V1
+from debezium_connector_spanner_spark.streaming.engine import CdcReplayEngine
+
+
+def _run_with_crashes(spark, fx, root, cfg, n_batches, crash_after, **kw):
+    """Replay to completion, 'crashing' (dropping the engine) after each
+    prefix length in crash_after. Returns the final engine."""
+    base = spark.read.parquet(os.path.join(fx, "base_repos.parquet"))
+    end_us = EPOCH_MICROS + cfg.duration_s * 1_000_000
+
+    def mk(first):
+        return CdcReplayEngine(
+            spark,
+            fx,
+            os.path.join(root, "t"),
+            os.path.join(root, "c"),
+            start_us=EPOCH_MICROS,
+            end_us=end_us,
+            n_batches=n_batches,
+            initial_schema=REPOS_SCHEMA_V1,
+            base_df=base if first else None,
+            n_buckets=4,
+            **kw,
+        )
+
+    eng = mk(True)
+    done = 0
+    for k in crash_after:
+        step = k - done
+        if step <= 0:
+            continue
+        eng.run(max_batches=step)
+        done = k
+        eng = mk(False)  # crash: new object, checkpoint-only resume
+    eng.run()  # drain to the end
+    return eng
+
+
+def test_random_crash_schedules_reproduce_oracle(spark, tmp_root):
+    rng = random.Random(1234)
+    for trial in range(3):
+        cfg = GeneratorConfig(
+            n_repos=rng.choice([5, 8, 11]),
+            paths_per_repo=rng.choice([3, 4]),
+            hot_repos=rng.choice([1, 2]),
+            events_per_key_mean=rng.choice([3, 5]),
+            hot_key_events=rng.choice([0, 300]),
+            seed=100 + trial,
+        )
+        fx = os.path.join(tmp_root, f"fx{trial}")
+        write_fixture(fx, cfg)
+        n_batches = rng.choice([4, 6, 7])
+        n_crashes = rng.randint(1, 3)
+        crash_after = sorted(rng.sample(range(1, n_batches), n_crashes))
+        kw = dict(
+            skew_mode=rng.choice(["adaptive", "fused", "salted"]),
+            sink_mode=rng.choice(["mor", "cow"]),
+            compact_mode=rng.choice(["async", "sync"]),
+        )
+        if rng.random() < 0.5:
+            kw["max_events_per_batch"] = rng.choice([150, 400])
+        root = os.path.join(tmp_root, f"run{trial}")
+        eng = _run_with_crashes(
+            spark, fx, root, cfg, n_batches, crash_after, **kw
+        )
+        got = (
+            eng.final_state()
+            .toPandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        want = (
+            fold_final_state(fx)
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()],
+            want,
+            obj=f"trial {trial} crashes={crash_after} kw={kw}",
+        )
