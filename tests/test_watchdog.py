@@ -98,6 +98,10 @@ def test_requery_holds_then_escalates(spark, tmp_root):
     held = requeried[0]
     assert held["watermark_us"] < held["batch_end_us"]
     assert eng.final_state().count() == 1  # Parent0's row landed
+    # the meter surface (M3) mirrors the watchdog activity
+    assert eng.meter.stuck_heartbeat_intervals >= len(stuck)
+    assert eng.meter.requeried_tokens_total >= len(requeried)
+    assert eng.meter.error_count == 0  # requery is recovery, not an error
 
 
 def test_fail_policy_raises(spark, tmp_root):
@@ -107,3 +111,4 @@ def test_fail_policy_raises(spark, tmp_root):
     eng = _engine(spark, fx, tmp_root, "fl", stuck_policy="fail", n_batches=10)
     with pytest.raises(RuntimeError, match="stuck partitions"):
         eng.run()
+    assert eng.meter.error_count == 1  # the watchdog escalation is counted
