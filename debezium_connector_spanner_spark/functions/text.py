@@ -183,3 +183,42 @@ def rolling_fingerprint(
     )
     hashes = F.transform(idx, lambda i: md5_hash64(c.substr(i, F.lit(window))))
     return F.array_min(hashes)
+
+
+def pack_sequences(
+    docs,
+    id_col: str,
+    tokens_col: str,
+    context_len: int = 2048,
+    n_shards: int = 32,
+):
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    layout step: documents are deterministically sharded, laid out in
+    id order within each shard, and the concatenated token stream is
+    chunked into fixed ``context_len`` windows. Each doc gets its
+    (shard, start_offset, first bin, bins spanned).
+
+    Scale shape: ONE window pass per shard, shuffled only on the shard
+    key — packing is embarrassingly parallel across shards, content-free
+    and rerun-stable (no rand(), no collect). The per-shard sort is the
+    same sort a writer needs to emit packed sequences in order anyway.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(id_col)
+    d = docs.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias("_n"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+    )
+    start = F.sum("_n").over(w) - F.col("_n")
+    n_bins = F.when(F.col("_n") == 0, F.lit(0)).otherwise(
+        F.floor((start + F.col("_n") - 1) / context_len) - F.floor(start / context_len) + 1
+    )
+    return d.select(
+        F.col(id_col),
+        "shard",
+        start.cast("long").alias("start_offset"),
+        F.floor(start / context_len).cast("long").alias("bin"),
+        n_bins.cast("long").alias("n_bins"),
+    )

@@ -358,9 +358,23 @@ def _col_merge_sql(c: str, in_base: bool = True, cast: str | None = None) -> str
            ELSE {base_v} END AS "{c}" """
 
 
-def _sql_final_state(fx: str, fold_cols: list[str], merge_cols: list[str], select: str) -> str:
+def _sql_final_state(
+    fx: str,
+    fold_cols: list[str],
+    merge_cols: list[str],
+    select: str,
+    cutoff_us: int | None = None,
+) -> str:
+    exploded = _exploded_sql(fx)
+    if cutoff_us is not None:
+        # AS-OF truncation: the fold sees only events committed at or
+        # before the cutoff (time-travel oracle for snapshot reads)
+        exploded = exploded.replace(
+            "AND table_name = 'repos'",
+            f"AND table_name = 'repos' AND epoch_us(commit_ts) <= {cutoff_us}",
+        )
     return f"""
-WITH {_exploded_sql(fx)},
+WITH {exploded},
 folded AS (
   SELECT repo, path,
     arg_max(new_values IS NULL, k) AS last_is_del,
@@ -386,6 +400,62 @@ def sql_cdc_final_state(fx: str) -> str:
         fold_cols=[_col_fold_sql(c) for c in ("commit", "lang", "content")],
         merge_cols=[_col_merge_sql(c) for c in ("commit", "lang", "content")],
         select='repo, path, "commit", lang, content, sha256(content) AS content_sha',
+    )
+
+
+ASOF_BATCH = 3  # snapshot read AS OF the end of this batch (see below)
+
+
+def _asof_cutoff_us(sf_name: str = "sf0.01") -> int:
+    cfg = fixture_config_for_sf(_fx_path(sf_name))
+    return EPOCH_MICROS + (ASOF_BATCH + 1) * cfg.duration_s * 1_000_000 // N_BATCHES
+
+
+def sql_cdc_state_asof(fx: str, sf_name: str = "sf0.01") -> str:
+    return _sql_final_state(
+        fx,
+        fold_cols=[_col_fold_sql(c) for c in ("commit", "lang", "content")],
+        merge_cols=[_col_merge_sql(c) for c in ("commit", "lang", "content")],
+        select='repo, path, "commit", lang, content, sha256(content) AS content_sha',
+        cutoff_us=_asof_cutoff_us(sf_name),
+    )
+
+
+def q_cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: read the table AS OF the snapshot committed
+    at batch ASOF_BATCH's boundary and prove it equals the SQL fold
+    truncated at that batch's end timestamp — snapshot isolation +
+    exactly-once surfaced as an oracle equality, from the mid-replay
+    snapshot the lake keeps (sources/lake.py read(sid); reference
+    analogue: consumers reading committed offsets mid-stream).
+
+    Semantics note: a batch-boundary snapshot equals the time-truncated
+    fold only at DAG-SETTLED boundaries. While a child partition is
+    catching up after its parents finish, events below the boundary are
+    scanned one batch later (the gate's happens-before), so boundaries
+    inside a split catch-up lag the truncated fold (measured on this
+    fixture: batches 4-5 lag; 1-3 and 6+ are settled). ASOF_BATCH=3 is
+    the last settled boundary before the fixture's child-split wave —
+    i.e. this check covers genuine mid-replay state, not the trivial
+    final snapshot."""
+    eng = replayed_engine(spark, sf_dir)
+    ms = [m for m in eng.metrics() if m.get("snapshot_id") is not None]
+    m = ms[ASOF_BATCH]
+    assert m["batch_id"] == ASOF_BATCH
+    from debezium_connector_spanner_spark.operators.merge import CDC_TS_COL
+
+    return (
+        eng.tables["repos"]
+        .table.read(m["snapshot_id"])
+        .drop(CDC_TS_COL)
+        .select(
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            "content",
+            F.sha2(F.col("content"), 256).alias("content_sha"),
+        )
     )
 
 
@@ -746,6 +816,7 @@ CDC_QUERIES = {
     "cdc_final_state_evolved": q_cdc_final_state_evolved,
     "cdc_final_state_pg": q_cdc_final_state_pg,
     "cdc_final_state_proto": q_cdc_final_state_proto,
+    "cdc_state_asof": q_cdc_state_asof,
 }
 
 
@@ -766,6 +837,8 @@ def cdc_oracles(sf_name: str = "sf0.01") -> dict[str, str]:
         "cdc_final_state_proto": sql_cdc_final_state(_fx_path(sf_name)),
         # batch-loop re-simulation (gate/offset/watermark/drain) in SQL
         "cdc_watermark_trace": sql_cdc_watermark_trace(fx, sf_name),
+        # snapshot time travel vs the time-truncated fold
+        "cdc_state_asof": sql_cdc_state_asof(fx, sf_name),
     }
 
 

@@ -856,3 +856,52 @@ def pipeline_oracles() -> dict[str, str]:  # noqa: F811 — extend the base map
     out = _BASE_PIPELINE_ORACLES()
     out["docs_decontaminate"] = SQL_DOCS_DECONTAMINATE
     return out
+
+
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining (functions/text.py
+    pack_sequences): whitespace token counts, 32 deterministic shards,
+    2048-token context windows; each doc's placement in the packed
+    stream (shard, start offset, first bin, bins spanned)."""
+    from debezium_connector_spanner_spark.functions.text import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    counted = d.select(
+        "doc_id",
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(toks)
+        .alias("n_tokens"),
+    )
+    return pack_sequences(counted, "doc_id", "n_tokens", context_len=2048, n_shards=32)
+
+
+SQL_DOCS_PACK_SEQUENCES = r"""
+WITH counted AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, doc_id % 32 AS shard, n,
+    sum(n) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) - n AS start_offset
+  FROM counted
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+  CAST(start_offset AS BIGINT) AS start_offset,
+  CAST(floor(start_offset / 2048) AS BIGINT) AS bin,
+  CAST(CASE WHEN n = 0 THEN 0
+       ELSE floor((start_offset + n - 1) / 2048) - floor(start_offset / 2048) + 1
+       END AS BIGINT) AS n_bins
+FROM placed
+"""
+
+PIPELINE_QUERIES.update({"docs_pack_sequences": q_docs_pack_sequences})
+_BASE_PIPELINE_ORACLES2 = pipeline_oracles
+
+
+def pipeline_oracles() -> dict[str, str]:  # noqa: F811 — extend the base map
+    out = _BASE_PIPELINE_ORACLES2()
+    out["docs_pack_sequences"] = SQL_DOCS_PACK_SEQUENCES
+    return out
