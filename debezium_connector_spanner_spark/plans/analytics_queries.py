@@ -1470,3 +1470,76 @@ FROM (
 
 ANALYTIC_QUERIES.update({"events_sessions_stream": q_events_sessions_stream})
 ANALYTIC_ORACLES.update({"events_sessions_stream": SQL_EVENTS_SESSIONS_STREAM})
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: the deepest dim chain in the
+    suite (region -> nation -> customer on one leg, nation -> supplier
+    on the other, part filter on a third), all folded into broadcast
+    maps before the single lineitem x orders fact shuffle. The share is
+    emitted as exact integer numerator/denominator (revenue_e4) per
+    year — a float division would be the only drift risk, so it is left
+    to the consumer."""
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    cust_in_region = (
+        _t(spark, sf_dir, "customer")
+        .join(nat, F.col("c_nationkey") == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    parts = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_region), orders.o_custkey == cust_in_region.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(vol).alias("total_volume_e4"),
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0)
+            ).alias("nation1_volume_e4"),
+        )
+    )
+
+
+SQL_TPCH_Q8 = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(sum(vol_e4) AS BIGINT) AS total_volume_e4,
+  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol_e4 ELSE 0 END) AS BIGINT)
+    AS nation1_volume_e4
+FROM (
+  SELECT o_orderdate, n2.n_name AS supp_nation,
+    CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT)) AS vol_e4
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) GROUP BY 1
+"""
+
+ANALYTIC_QUERIES.update({"tpch_q8": q_tpch_q8})
+ANALYTIC_ORACLES.update({"tpch_q8": SQL_TPCH_Q8})

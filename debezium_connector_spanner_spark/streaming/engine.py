@@ -381,13 +381,50 @@ class CdcReplayEngine:
         return os.path.join(self.checkpoint_dir, f"ckpt-{batch_id + 1:06d}.json")
 
     def _load_latest_checkpoint(self) -> dict | None:
+        """Newest READABLE checkpoint. A crash can leave the file LATEST
+        points at truncated/corrupt (atomic rename without fsync); the
+        fallback walks ckpt-*.json newest-first and resumes from the
+        most recent parseable state — that is precisely what gc_keep >= 2
+        preserves. Resuming one batch earlier is exactly-once-safe: the
+        constructor rolls each table back to the checkpointed snapshot
+        and the skipped batch re-applies idempotently."""
         latest = os.path.join(self.checkpoint_dir, "LATEST")
         if not os.path.exists(latest):
             return None
-        with open(latest) as f:
-            name = f.read().strip()
-        with open(os.path.join(self.checkpoint_dir, name)) as f:
-            return json.load(f)
+        candidates: list[str] = []
+        try:
+            with open(latest) as f:
+                candidates.append(f.read().strip())
+        except OSError:
+            pass
+        candidates += sorted(
+            (
+                n
+                for n in os.listdir(self.checkpoint_dir)
+                if n.startswith("ckpt-") and n.endswith(".json")
+            ),
+            reverse=True,  # zero-padded batch ids: lexicographic == numeric
+        )
+        seen = set()
+        tried = 0
+        for name in candidates:
+            if not name or name in seen:
+                continue
+            seen.add(name)
+            tried += 1
+            try:
+                with open(os.path.join(self.checkpoint_dir, name)) as f:
+                    return json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue  # truncated/missing: fall back to the previous one
+        if tried:
+            # checkpoints existed but none parsed: refusing to silently
+            # restart from scratch over committed table state
+            raise RuntimeError(
+                f"all {tried} checkpoint file(s) in {self.checkpoint_dir!r} "
+                "are unreadable; refusing to re-bootstrap over existing state"
+            )
+        return None
 
     def _maint_compact_prepare(self, table, base_sid):
         # Runs on the maintenance-lane thread. That thread was spawned from

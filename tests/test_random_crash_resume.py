@@ -60,6 +60,67 @@ def _run_with_crashes(spark, fx, root, cfg, n_batches, crash_after, **kw):
     return eng
 
 
+def test_corrupt_latest_checkpoint_falls_back_one_batch(spark, tmp_root):
+    """A crash can leave the newest checkpoint file truncated (atomic
+    rename without fsync). Resume must fall back to the previous
+    parseable checkpoint — which gc_keep >= 2 preserves — roll the table
+    back to ITS snapshot, re-apply the lost batch idempotently, and
+    still reproduce the oracle. If every checkpoint is unreadable the
+    engine must refuse to re-bootstrap over committed state."""
+    import pytest
+
+    cfg = GeneratorConfig(
+        n_repos=6, paths_per_repo=4, hot_repos=1, events_per_key_mean=3, seed=77
+    )
+    fx = os.path.join(tmp_root, "fx")
+    write_fixture(fx, cfg)
+    base = spark.read.parquet(os.path.join(fx, "base_repos.parquet"))
+    end_us = EPOCH_MICROS + cfg.duration_s * 1_000_000
+
+    def mk(first):
+        return CdcReplayEngine(
+            spark,
+            fx,
+            os.path.join(tmp_root, "t"),
+            os.path.join(tmp_root, "c"),
+            start_us=EPOCH_MICROS,
+            end_us=end_us,
+            n_batches=5,
+            initial_schema=REPOS_SCHEMA_V1,
+            base_df=base if first else None,
+            n_buckets=4,
+        )
+
+    eng = mk(True)
+    eng.run(max_batches=3)
+    ckpt_dir = os.path.join(tmp_root, "c")
+    with open(os.path.join(ckpt_dir, "LATEST")) as f:
+        newest = f.read().strip()
+    # truncate the newest checkpoint mid-JSON (simulated torn write)
+    p = os.path.join(ckpt_dir, newest)
+    blob = open(p).read()
+    open(p, "w").write(blob[: len(blob) // 2])
+
+    eng2 = mk(False)
+    assert eng2.batch_id < 3  # resumed from an OLDER checkpoint
+    eng2.run()
+    got = (
+        eng2.final_state()
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = fold_final_state(fx).sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+    # every checkpoint unreadable -> explicit refusal, no silent restart
+    for n in os.listdir(ckpt_dir):
+        if n.startswith("ckpt-") and n.endswith(".json"):
+            open(os.path.join(ckpt_dir, n), "w").write("{corrupt")
+    with pytest.raises(RuntimeError, match="unreadable"):
+        mk(False)
+
+
 def test_random_crash_schedules_reproduce_oracle(spark, tmp_root):
     rng = random.Random(1234)
     for trial in range(3):
