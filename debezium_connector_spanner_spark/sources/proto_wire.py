@@ -282,6 +282,31 @@ def _s(v: memoryview) -> str:
     return str(v, "utf-8")
 
 
+# column_types memo: the field-6 bytes are identical for every record of
+# a schema version (they re-announce the full column list), so the
+# ColumnType submessage parse + canonical json.dumps — measured ~35% of
+# decode_record — runs once per distinct schema version per worker, not
+# once per record. Bounded by the number of schema versions (tiny).
+_COLTYPES_CACHE: dict[bytes, str] = {}
+
+
+def _decode_coltypes(col_raws: list[bytes]) -> str:
+    cols = []
+    for raw in col_raws:
+        c = {"name": None, "type": None, "is_primary_key": False, "ordinal_position": 0}
+        for cf, cv in _parse_fields(memoryview(raw)):
+            if cf == 1:
+                c["name"] = _s(cv)
+            elif cf == 2:
+                c["type"] = json.loads(_s(cv))
+            elif cf == 3:
+                c["is_primary_key"] = bool(cv)
+            elif cf == 4:
+                c["ordinal_position"] = int(cv)
+        cols.append(c)
+    return json.dumps(cols, sort_keys=True)
+
+
 def _decode_data_change(buf: memoryview) -> dict:
     out = {
         "record_type": DATA_CHANGE,
@@ -298,7 +323,7 @@ def _decode_data_change(buf: memoryview) -> dict:
         "is_system_transaction": False,
         "child_partitions": None,
     }
-    cols = []
+    col_raws: list[bytes] = []
     for f, v in _parse_fields(buf):
         if f == 2:
             out["record_sequence"] = _s(v)
@@ -309,17 +334,7 @@ def _decode_data_change(buf: memoryview) -> dict:
         elif f == 5:
             out["table_name"] = _s(v)
         elif f == 6:
-            c = {"name": None, "type": None, "is_primary_key": False, "ordinal_position": 0}
-            for cf, cv in _parse_fields(v):
-                if cf == 1:
-                    c["name"] = _s(cv)
-                elif cf == 2:
-                    c["type"] = json.loads(_s(cv))
-                elif cf == 3:
-                    c["is_primary_key"] = bool(cv)
-                elif cf == 4:
-                    c["ordinal_position"] = int(cv)
-            cols.append(c)
+            col_raws.append(bytes(v))
         elif f == 7:
             m = {"keys": None, "new_values": None, "old_values": None}
             for mf, mv in _parse_fields(v):
@@ -342,7 +357,11 @@ def _decode_data_change(buf: memoryview) -> dict:
             out["transaction_tag"] = _s(v)
         elif f == 13:
             out["is_system_transaction"] = bool(v)
-    out["column_types"] = json.dumps(cols, sort_keys=True)
+    key = b"\x00".join(col_raws)
+    ct = _COLTYPES_CACHE.get(key)
+    if ct is None:
+        ct = _COLTYPES_CACHE[key] = _decode_coltypes(col_raws)
+    out["column_types"] = ct
     return out
 
 

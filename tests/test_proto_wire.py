@@ -129,6 +129,39 @@ def test_partition_lifecycle_roundtrip():
     assert got["child_partitions"] == move["child_partitions"]
 
 
+def test_coltypes_memo_distinguishes_schema_versions():
+    """The column_types decode memo must key on the exact wire bytes:
+    records carrying DIFFERENT schema versions decode to different
+    column_types even when interleaved (no stale cache hits)."""
+    def rec(cols):
+        return {
+            "record_type": "data_change",
+            "commit_ts_us": 1,
+            "record_sequence": "1",
+            "server_txn_id": "t",
+            "is_last_in_txn_in_partition": False,
+            "table_name": "repos",
+            "column_types": cols,
+            "mods": [{"keys": "{}", "new_values": "{}", "old_values": None}],
+            "mod_type": "UPDATE",
+            "value_capture_type": "NEW_VALUES",
+            "number_of_records_in_transaction": 1,
+            "number_of_partitions_in_transaction": 1,
+            "transaction_tag": "",
+            "is_system_transaction": False,
+        }
+
+    v1 = '[{"is_primary_key": true, "name": "repo", "ordinal_position": 1, "type": {"code": "STRING"}}]'
+    v2 = (
+        '[{"is_primary_key": true, "name": "repo", "ordinal_position": 1, "type": {"code": "STRING"}},'
+        ' {"is_primary_key": false, "name": "stars", "ordinal_position": 2, "type": {"code": "INT64"}}]'
+    )
+    b1, b2 = encode_record(rec(v1)), encode_record(rec(v2))
+    for _ in range(2):  # interleaved, twice: cache must not cross-serve
+        assert decode_record(b1)["column_types"] == v1
+        assert decode_record(b2)["column_types"] == v2
+
+
 def test_varint_rejects_negative():
     import pytest
 
