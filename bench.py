@@ -214,6 +214,17 @@ def main() -> None:
         extras.setdefault("new_ops_sec", {})[name] = round(time.monotonic() - t0, 3)
         extras.setdefault("rows", {})[name] = n
 
+    # round-4 operators (same treatment: timed in extras, not headline)
+    for name, fn in (
+        ("tpch_q7", ANALYTIC_QUERIES["tpch_q7"]),
+        ("docs_decontaminate", PIPELINE_QUERIES["docs_decontaminate"]),
+        ("docs_pack_sequences", PIPELINE_QUERIES["docs_pack_sequences"]),
+    ):
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()
+        extras.setdefault("new_ops_sec", {})[name] = round(time.monotonic() - t0, 3)
+        extras.setdefault("rows", {})[name] = n
+
     # wire-dialect decode-cost ratio (VERDICT r03 #6): proto target <=3x
     extras["wire_dialects"] = run_dialect_compare(spark)
 
