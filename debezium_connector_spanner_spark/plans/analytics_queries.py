@@ -1543,3 +1543,89 @@ FROM (
 
 ANALYTIC_QUERIES.update({"tpch_q8": q_tpch_q8})
 ANALYTIC_ORACLES.update({"tpch_q8": SQL_TPCH_Q8})
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view -> click -> purchase): per user, the
+    first view, the first click strictly after it, and the first
+    purchase strictly after that, plus the stage reached.
+
+    ONE shuffle: group per user, sort the user's events in-memory
+    (sort_array) and run a codegen'd higher-order aggregate() fold over
+    the sequence — no self-joins, no window re-shuffles, no UDF. Per-user
+    event counts are bounded in practice; a pathological user would spill
+    that task, not the stage. The DuckDB oracle derives the same three
+    timestamps via min-filter CTEs (first view; first click > it; first
+    purchase > that), provably equivalent to the fold because all
+    comparisons are strict on both sides."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(_us("ts").alias("t"), F.col("event_type").alias("e")))
+        ).alias("seq")
+    )
+    nul = F.lit(None).cast("long")
+    acc0 = F.struct(nul.alias("v"), nul.alias("c"), nul.alias("p"))
+    fold = F.aggregate(
+        "seq",
+        acc0,
+        lambda a, x: F.struct(
+            F.when(a.v.isNull() & (x.e == "view"), x.t).otherwise(a.v).alias("v"),
+            F.when(
+                a.c.isNull() & a.v.isNotNull() & (x.e == "click") & (x.t > a.v), x.t
+            )
+            .otherwise(a.c)
+            .alias("c"),
+            F.when(
+                a.p.isNull() & a.c.isNotNull() & (x.e == "purchase") & (x.t > a.c),
+                x.t,
+            )
+            .otherwise(a.p)
+            .alias("p"),
+        ),
+    )
+    out = seq.select("user_id", fold.alias("f"))
+    stage = (
+        F.col("f.v").isNotNull().cast("long")
+        + F.col("f.c").isNotNull().cast("long")
+        + F.col("f.p").isNotNull().cast("long")
+    )
+    return out.select(
+        "user_id",
+        F.col("f.v").alias("view_us"),
+        F.col("f.c").alias("click_us"),
+        F.col("f.p").alias("purchase_us"),
+        stage.alias("stage"),
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type
+  FROM events WHERE event_type IN ('view','click','purchase')
+),
+v AS (SELECT user_id, min(t) AS view_us FROM e WHERE event_type='view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(t) AS click_us
+  FROM e JOIN v USING (user_id)
+  WHERE event_type='click' AND t > view_us GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(t) AS purchase_us
+  FROM e JOIN c USING (user_id)
+  WHERE event_type='purchase' AND t > click_us GROUP BY 1
+)
+SELECT u.user_id, view_us, click_us, purchase_us,
+  CAST(CASE WHEN view_us IS NULL THEN 0 ELSE 1 END
+     + CASE WHEN click_us IS NULL THEN 0 ELSE 1 END
+     + CASE WHEN purchase_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+FROM (SELECT DISTINCT user_id FROM e) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+ANALYTIC_QUERIES.update({"events_funnel": q_events_funnel})
+ANALYTIC_ORACLES.update({"events_funnel": SQL_EVENTS_FUNNEL})

@@ -270,3 +270,48 @@ def test_asof_join_tolerance(spark):
     # some matches must actually be dropped by the tolerance for the
     # test to mean anything
     assert want["rv"].isna().sum() > 0
+
+
+def test_funnel_strict_tie_semantics(spark, tmp_path):
+    """events_funnel: comparisons are STRICT on both sides — a click at
+    exactly the first view's timestamp does not advance the funnel, nor
+    does a purchase at exactly the first qualifying click's timestamp."""
+    import pandas as pd
+
+    from debezium_connector_spanner_spark.plans.analytics_queries import (
+        q_events_funnel,
+    )
+
+    rows = [
+        # user 1: clean v < c < p -> stage 3
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        # user 2: click TIES the first view -> not counted; later click ok,
+        # purchase TIES that click -> not counted -> stage 2
+        (2, 100, "view"), (2, 100, "click"), (2, 250, "click"),
+        (2, 250, "purchase"),
+        # user 3: purchase before any view -> stage 1 (view only)
+        (3, 50, "purchase"), (3, 80, "view"),
+        # user 4: click before the first view never counts -> stage 1
+        (4, 10, "click"), (4, 20, "view"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "t_us", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["t_us"], unit="us")
+    pdf["event_id"] = range(len(pdf))
+    pdf["value"] = 0.0
+    pdf["props"] = ""
+    out_dir = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    spark.createDataFrame(
+        pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+    got = {
+        r["user_id"]: (r["view_us"], r["click_us"], r["purchase_us"], r["stage"])
+        for r in q_events_funnel(spark, out_dir).collect()
+    }
+    assert got[1] == (100, 200, 300, 3)
+    assert got[2] == (100, 250, None, 2)
+    assert got[3] == (80, None, None, 1)
+    assert got[4] == (20, None, None, 1)
