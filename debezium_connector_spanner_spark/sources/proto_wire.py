@@ -287,7 +287,7 @@ def _s(v: memoryview) -> str:
 # ColumnType submessage parse + canonical json.dumps — measured ~35% of
 # decode_record — runs once per distinct schema version per worker, not
 # once per record. Bounded by the number of schema versions (tiny).
-_COLTYPES_CACHE: dict[bytes, str] = {}
+_COLTYPES_CACHE: dict[tuple[bytes, ...], str] = {}
 
 
 def _decode_coltypes(col_raws: list[bytes]) -> str:
@@ -357,7 +357,10 @@ def _decode_data_change(buf: memoryview) -> dict:
             out["transaction_tag"] = _s(v)
         elif f == 13:
             out["is_system_transaction"] = bool(v)
-    key = b"\x00".join(col_raws)
+    # tuple key, not a joined blob: raw submessage bytes may contain
+    # 0x00, so a delimiter-joined key could collide two different
+    # column lists (ADVICE r4)
+    key = tuple(col_raws)
     ct = _COLTYPES_CACHE.get(key)
     if ct is None:
         ct = _COLTYPES_CACHE[key] = _decode_coltypes(col_raws)

@@ -508,14 +508,27 @@ class CdcReplayEngine:
             )
 
     def _write_checkpoint(self, state: dict, path: str) -> None:
+        # fsync file THEN dir on both writes: rename-without-fsync can
+        # surface a zero-length file after power loss (the corruption
+        # fallback in _load_latest_checkpoint would still recover, but
+        # closing the window is cheap and keeps LATEST authoritative)
         tmp = path + "." + uuid.uuid4().hex
         with open(tmp, "w") as f:
             json.dump(state, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
         tmp2 = os.path.join(self.checkpoint_dir, ".LATEST.tmp")
         with open(tmp2, "w") as f:
             f.write(os.path.basename(path))
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp2, os.path.join(self.checkpoint_dir, "LATEST"))
+        dfd = os.open(self.checkpoint_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)  # make both renames durable
+        finally:
+            os.close(dfd)
 
     # ------------------------------------------------------------- plan
     def _boundaries(self) -> list[int]:
@@ -777,6 +790,20 @@ class CdcReplayEngine:
         return True
 
     def _run_batch(self, batch_id: int, batch_end_us: int) -> dict:
+        # Balance the M3 active-queries gauge when the batch aborts
+        # between on_query() and on_query_done() (stuck_policy='fail'
+        # raise, failed schema retry, merge error): the gauge is a
+        # per-batch 0/1, so an abort mid-window must decrement it or the
+        # final metrics line reports a phantom in-flight query.
+        issued0 = self.meter.queries_issued_total
+        try:
+            return self._run_batch_impl(batch_id, batch_end_us)
+        except BaseException:
+            if self.meter.active_queries and self.meter.queries_issued_total > issued0:
+                self.meter.on_query_done()
+            raise
+
+    def _run_batch_impl(self, batch_id: int, batch_end_us: int) -> dict:
         t0 = time.monotonic()
         timings: dict[str, float] = {}
         active = self._gate()

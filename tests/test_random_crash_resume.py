@@ -164,3 +164,107 @@ def test_random_crash_schedules_reproduce_oracle(spark, tmp_root):
             want,
             obj=f"trial {trial} crashes={crash_after} kw={kw}",
         )
+
+
+def test_latest_parseable_after_torn_writes(spark, tmp_root, monkeypatch):
+    """O11 durability: _write_checkpoint fsyncs the file (and the dir)
+    before/after each rename, so no matter where a crash lands inside
+    the write sequence, LATEST always names a checkpoint that parses.
+    Simulated by aborting the write at every rename point in turn."""
+    import json
+
+    cfg = GeneratorConfig(
+        n_repos=5, paths_per_repo=3, hot_repos=1, events_per_key_mean=3, seed=42
+    )
+    fx = os.path.join(tmp_root, "fx")
+    write_fixture(fx, cfg)
+    base = spark.read.parquet(os.path.join(fx, "base_repos.parquet"))
+    end_us = EPOCH_MICROS + cfg.duration_s * 1_000_000
+    eng = CdcReplayEngine(
+        spark,
+        fx,
+        os.path.join(tmp_root, "t"),
+        os.path.join(tmp_root, "c"),
+        start_us=EPOCH_MICROS,
+        end_us=end_us,
+        n_batches=4,
+        initial_schema=REPOS_SCHEMA_V1,
+        base_df=base,
+        n_buckets=4,
+    )
+    eng.run(max_batches=2)
+    ckpt_dir = os.path.join(tmp_root, "c")
+
+    def latest_parses() -> bool:
+        with open(os.path.join(ckpt_dir, "LATEST")) as f:
+            name = f.read().strip()
+        with open(os.path.join(ckpt_dir, name)) as f:
+            json.load(f)
+        return True
+
+    assert latest_parses()
+    state = {"batch_id": 99, "fake": True}
+
+    # crash at rename #1 (ckpt file) and rename #2 (LATEST) in turn
+    for crash_at in (1, 2):
+        calls = {"n": 0}
+        real_replace = os.replace
+
+        def replace(src, dst, *, _crash_at=crash_at, _calls=calls):
+            _calls["n"] += 1
+            if _calls["n"] == _crash_at:
+                raise OSError("simulated crash during rename")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(os, "replace", replace)
+        try:
+            eng._write_checkpoint(dict(state), eng._ckpt_path(90 + crash_at))
+        except OSError:
+            pass
+        monkeypatch.undo()
+        assert latest_parses()  # LATEST still names a parseable file
+
+    # fsync actually runs on the happy path: file fd twice + dir fd once
+    fsyncs = []
+    real_fsync = os.fsync
+    monkeypatch.setattr(os, "fsync", lambda fd: (fsyncs.append(fd), real_fsync(fd))[1])
+    eng._write_checkpoint(dict(state), eng._ckpt_path(95))
+    assert len(fsyncs) == 3
+    eng.close()
+
+
+def test_active_queries_gauge_balanced_on_batch_abort(spark, tmp_root, monkeypatch):
+    """M3 gauge hygiene (ADVICE r4): a batch that dies between
+    on_query() and on_query_done() must not leave active_queries at 1
+    in the final metrics snapshot."""
+    import pytest
+
+    cfg = GeneratorConfig(
+        n_repos=5, paths_per_repo=3, hot_repos=1, events_per_key_mean=3, seed=7
+    )
+    fx = os.path.join(tmp_root, "fx2")
+    write_fixture(fx, cfg)
+    base = spark.read.parquet(os.path.join(fx, "base_repos.parquet"))
+    end_us = EPOCH_MICROS + cfg.duration_s * 1_000_000
+    eng = CdcReplayEngine(
+        spark,
+        fx,
+        os.path.join(tmp_root, "t2"),
+        os.path.join(tmp_root, "c2"),
+        start_us=EPOCH_MICROS,
+        end_us=end_us,
+        n_batches=4,
+        initial_schema=REPOS_SCHEMA_V1,
+        base_df=base,
+        n_buckets=4,
+    )
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated merge failure")
+
+    monkeypatch.setattr(eng, "_merge_attempt", boom)
+    with pytest.raises(RuntimeError, match="simulated merge failure"):
+        eng.run(max_batches=1)
+    assert eng.meter.active_queries == 0
+    assert eng.meter.queries_issued_total >= 1
+    eng.close()
