@@ -1,16 +1,25 @@
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. Prints ONE COMPACT JSON line (< 2000 chars — the
+driver records only the tail of stdout, so the final line must fit
+whole or the round's headline is unrecoverable; VERDICT r4 blemish #1):
 
-{"metric": "...", "value": <total sec>, "unit": "sec",
- "queries": {...per-query sec...}, "sf": ..., "extras": {...}}
+{"metric": "...", "value": <headline sec>, "unit": "sec",
+ "queries": {...per-query sec...}, "sf": ..., ...scalar extras...}
 
-Headline: full CDC replay (decode -> DAG-gated scan -> LWW fold ->
-bucketed MERGE -> checkpoint) on a dedicated change-event fixture sized
-off the sf dir, reported both as seconds and events/sec. Plus a spread
-of analytics/pipeline queries at the sf dir.
+Headline `value`: the sf1 replay wall — one full CDC replay
+(decode -> DAG-gated scan -> LWW fold -> bucketed MERGE -> checkpoint)
+over the cached 41M-event bench-sf1 fixture with rate-model batch
+sizing engaged. Promoted from the sf0.1 replay in round 5 (VERDICT r4
+#6): the 41M-event rung is stable under host steal noise, so the
+round-over-round signal stops depending on scheduler luck. The sf0.1
+replay and the analytics/pipeline query walls stay in `queries` for
+continuity; full detail (replay quantiles, rows, dialect ratios) goes
+to BENCH_EXTRAS.json next to this file.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     BENCH_PARALLELISM (override master threads, for scaling runs).
+     BENCH_PARALLELISM (override master threads, for scaling runs),
+     BENCH_SKIP_SF1=1 (skip the sf1 headline; value falls back to the
+     sf0.1 query total — used by scaling sweeps that only need sf0.1).
 """
 
 from __future__ import annotations
@@ -65,6 +74,7 @@ def run_cdc_replay(
     sf: float,
     n_batches: int = 8,
     max_events_per_batch: int | None = None,
+    fixture: str | None = None,
 ) -> dict:
     # bucket count scales with the session's parallelism (the fold shuffle
     # has n_buckets partitions: 5 waves per core packs the stage tail —
@@ -74,7 +84,7 @@ def run_cdc_replay(
     n_buckets = max(64, 5 * spark.sparkContext.defaultParallelism)
     import json as _json
 
-    fx_override = os.environ.get("BENCH_FIXTURE")
+    fx_override = fixture or os.environ.get("BENCH_FIXTURE")
     if fx_override:
         fx = fx_override
         with open(os.path.join(fx, "manifest.json")) as f:
@@ -170,8 +180,20 @@ def main() -> None:
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.1
     par = os.environ.get("BENCH_PARALLELISM") or os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(app_name="cdc-bench", master=f"local[{par}]",
-                      shuffle_partitions=max(8, int(par)))
+    sf1_fx = os.path.join(FIXTURE_ROOT, "bench-sf1")
+    run_sf1 = (
+        not os.environ.get("BENCH_SKIP_SF1")
+        and os.path.exists(os.path.join(sf1_fx, "manifest.json"))
+    )
+    spark = get_spark(
+        app_name="cdc-bench",
+        master=f"local[{par}]",
+        shuffle_partitions=max(8, int(par)),
+        # 41M-event fold shuffle + concurrent compaction lane needs the
+        # bigger heap (single shared local-mode JVM; per-executor on a
+        # real cluster)
+        extra_conf={"spark.driver.memory": "16g"} if run_sf1 else None,
+    )
 
     queries: dict[str, float] = {}
     extras: dict = {"parallelism": int(par)}
@@ -228,27 +250,59 @@ def main() -> None:
     # wire-dialect decode-cost ratio (VERDICT r03 #6): proto target <=3x
     extras["wire_dialects"] = run_dialect_compare(spark)
 
-    # sf1 scale-up proof point (measured separately by tools/bench_sf1.py —
-    # a ~41M-event replay is too heavy for the per-round bench loop; the
-    # checked-in row carries its own wall/events so it is auditable)
+    # sf1 headline (VERDICT r4 #6): one 41M-event replay with rate-model
+    # batch sizing; its wall is the round-over-round `value`. The cached
+    # fixture makes this ~275s of pure replay, stable to a few % across
+    # reps (BENCH_SF1.json holds the multi-rep record from
+    # tools/bench_sf1.py).
+    if run_sf1:
+        sf1 = run_cdc_replay(
+            spark, "sf1", 1.0, max_events_per_batch=2_500_000, fixture=sf1_fx
+        )
+        extras["sf1_replay"] = sf1
+        queries["cdc_replay_sf1"] = sf1["wall_s"]
+        metric = "cdc_sf1_replay_wall"
+        value = sf1["wall_s"]
+        scalars = {
+            "sf1_events": sf1["events"],
+            "sf1_events_per_sec": sf1["events_per_sec"],
+        }
+    else:
+        metric = "cdc_replay_plus_analytics_wall"
+        value = round(sum(queries.values()), 3)
+        scalars = {}
+
     sf1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json")
     if os.path.exists(sf1_path):
         with open(sf1_path) as f:
-            extras["sf1_proofpoint"] = json.load(f)
+            extras["sf1_multirep_record"] = json.load(f)
 
-    total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "cdc_replay_plus_analytics_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "extras": extras,
-            }
-        )
+    # full detail to a sidecar file; the printed line stays compact so
+    # the driver's 2000-char stdout tail parses it whole
+    extras_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTRAS.json"
     )
+    with open(extras_path, "w") as f:
+        json.dump(extras, f, indent=1)
+
+    line = json.dumps(
+        {
+            "metric": metric,
+            "value": value,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in queries.items()},
+            "sf": sf,
+            **scalars,
+            "extras_file": "BENCH_EXTRAS.json",
+        }
+    )
+    # stop Spark BEFORE printing: shutdown chatter must not trail the line
+    spark.stop()
+    sys.stdout.flush()
+    print(line)
+    sys.stdout.flush()
+    if len(line) > 1900:  # tripwire: never regress BENCH parsing again
+        sys.stderr.write(f"WARNING: bench line {len(line)} chars > 1900\n")
 
 
 if __name__ == "__main__":

@@ -905,3 +905,60 @@ def pipeline_oracles() -> dict[str, str]:  # noqa: F811 — extend the base map
     out = _BASE_PIPELINE_ORACLES2()
     out["docs_pack_sequences"] = SQL_DOCS_PACK_SEQUENCES
     return out
+
+
+def q_emb_topk_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality surface (VERDICT r4 #8): per-query recall of the LSH
+    top-k against the exact bruteforce top-k, as a driver-checkable
+    result set rather than a pytest-only gate.
+
+    Both legs reuse the registered operators (identical hyperplanes /
+    tie order), so this is a pure set-intersection over two tiny per-query
+    top-k lists — the join input is O(n_queries * k) rows, broadcastable
+    at any corpus scale; the heavy lifting stays inside the ANN operators
+    themselves."""
+    bf = q_emb_topk_bruteforce(spark, sf_dir).select("query_id", "nbr_id")
+    lsh = q_emb_topk_lsh(spark, sf_dir).select("query_id", "nbr_id")
+    hits = (
+        bf.join(lsh, ["query_id", "nbr_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per_q = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_bf"))
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.col("k_bf").cast("long").alias("k_bf"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)) / F.col("k_bf"), 4
+        ).alias("recall"),
+    )
+
+
+def sql_emb_topk_lsh_recall() -> str:
+    # nested WITH inside parenthesized subqueries: DuckDB replays the
+    # exact bruteforce and LSH pipelines, then intersects per query
+    return f"""
+WITH bf AS (SELECT query_id, nbr_id FROM ({SQL_EMB_TOPK})),
+lsh AS (SELECT query_id, nbr_id FROM ({sql_emb_topk_lsh()})),
+hits AS (
+  SELECT query_id, count(*) AS hits FROM bf JOIN lsh USING (query_id, nbr_id)
+  GROUP BY 1
+),
+kq AS (SELECT query_id, count(*) AS k_bf FROM bf GROUP BY 1)
+SELECT kq.query_id,
+  CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+  CAST(kq.k_bf AS BIGINT) AS k_bf,
+  round(coalesce(hits.hits, 0)::DOUBLE / kq.k_bf, 4) AS recall
+FROM kq LEFT JOIN hits USING (query_id)
+"""
+
+
+PIPELINE_QUERIES.update({"emb_topk_lsh_recall": q_emb_topk_lsh_recall})
+_BASE_PIPELINE_ORACLES3 = pipeline_oracles
+
+
+def pipeline_oracles() -> dict[str, str]:  # noqa: F811 — extend the base map
+    out = _BASE_PIPELINE_ORACLES3()
+    out["emb_topk_lsh_recall"] = sql_emb_topk_lsh_recall()
+    return out

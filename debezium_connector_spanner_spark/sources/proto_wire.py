@@ -464,12 +464,12 @@ def decode_record(raw: bytes, partition_token: str | None = None) -> dict:
 _FIELDS = [f.name for f in EVENT_LOG_SCHEMA.fields]
 
 
-def decode_proto_wire(log: DataFrame) -> DataFrame:
-    """Proto wire log -> canonical EVENT_LOG_SCHEMA DataFrame.
+def decode_proto_wire_pandas(log: DataFrame) -> DataFrame:
+    """Row-at-a-time reference decode (mapInPandas over decode_record).
 
-    The decode kernel runs AFTER the scan's token/commit_ts pruning (the
-    filters sit on plain log columns), so only the batch's pruned slice
-    pays the decode.
+    Kept as the readable specification of the wire semantics and as the
+    differential-test twin of the vectorized path below; the engine uses
+    decode_proto_wire (numpy varint automaton + Arrow output).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -486,3 +486,392 @@ def decode_proto_wire(log: DataFrame) -> DataFrame:
             yield out[_FIELDS]
 
     return log.mapInPandas(kernel, schema=EVENT_LOG_SCHEMA)
+
+
+# ----------------------------------------------- vectorized decode (r5)
+# Batch varint/field parse with numpy over the concatenated Arrow byte
+# buffer (VERDICT r4 #2). The per-record Python loop above resumes a
+# generator ~21x per record and builds a dict per record (~47k rec/s
+# single-thread measured); this path parses ALL records of an Arrow
+# batch in lockstep — one numpy pass per field OCCURRENCE level, not one
+# Python iteration per field — and assembles the output as Arrow arrays
+# directly (mapInArrow), so no per-row Python object ever exists for the
+# hot DataChange records. Control records (heartbeat / lifecycle, a few
+# % of the log) still go through decode_record and are emitted as a
+# second small batch; within-batch row order is not significant anywhere
+# downstream (the fold orders by commit_ts/record_sequence).
+
+import numpy as np  # noqa: E402  (kept with its section on purpose)
+import pyarrow as pa  # noqa: E402
+
+
+def _vec_varints(data: np.ndarray, pos0: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode varints starting at positions pos0 into (values, end_pos).
+
+    Lockstep over all positions: one numpy round per varint BYTE level
+    (log payloads need <=3 rounds for lengths, <=6 for timestamps)."""
+    n = pos0.shape[0]
+    val = np.zeros(n, np.uint64)
+    pos = pos0.astype(np.int64).copy()
+    shift = np.zeros(n, np.uint64)
+    idx = np.arange(n, dtype=np.int64)
+    while idx.size:
+        b = data[pos[idx]]
+        val[idx] |= (b.astype(np.uint64) & 0x7F) << shift[idx]
+        pos[idx] += 1
+        idx = idx[(b & 0x80) != 0]
+        if idx.size:
+            shift[idx] += 7
+    return val.astype(np.int64), pos
+
+
+def _parse_events(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, ...]:
+    """Vectorized field scan over N message regions in lockstep.
+
+    Returns flat event arrays (row, field, kstart, ival, vstart, vend):
+    one entry per field occurrence, in step-major order (step k holds
+    the k-th field of every region that has one — per-region field order
+    is preserved under a stable per-row regroup). Wire-0 values land in
+    ival; wire-2 slices in [vstart, vend). No field-order or presence
+    assumptions: this is the same general last-wins proto3 scan as
+    _parse_fields, just data-parallel."""
+    ev_rows, ev_f, ev_k, ev_i, ev_s, ev_e = [], [], [], [], [], []
+    pos = starts.astype(np.int64).copy()
+    ends = ends.astype(np.int64)
+    idx = np.flatnonzero(pos < ends)
+    while idx.size:
+        kstart = pos[idx].copy()
+        key, p1 = _vec_varints(data, pos[idx])
+        field = key >> 3
+        wire = key & 7
+        bad = (wire != 0) & (wire != 2)
+        if bad.any():
+            j = int(np.flatnonzero(bad)[0])
+            raise ValueError(
+                f"unexpected wire type {int(wire[j])} for field {int(field[j])}"
+            )
+        ival = np.zeros(idx.size, np.int64)
+        vstart = np.full(idx.size, -1, np.int64)
+        vend = np.full(idx.size, -1, np.int64)
+        w0 = np.flatnonzero(wire == 0)
+        if w0.size:
+            v, p2 = _vec_varints(data, p1[w0])
+            ival[w0] = v
+            p1[w0] = p2
+        w2 = np.flatnonzero(wire == 2)
+        if w2.size:
+            ln, p2 = _vec_varints(data, p1[w2])
+            vstart[w2] = p2
+            vend[w2] = p2 + ln
+            p1[w2] = p2 + ln
+        pos[idx] = p1
+        ev_rows.append(idx.copy())
+        ev_f.append(field)
+        ev_k.append(kstart)
+        ev_i.append(ival)
+        ev_s.append(vstart)
+        ev_e.append(vend)
+        idx = idx[pos[idx] < ends[idx]]
+    if ev_rows:
+        return (
+            np.concatenate(ev_rows),
+            np.concatenate(ev_f),
+            np.concatenate(ev_k),
+            np.concatenate(ev_i),
+            np.concatenate(ev_s),
+            np.concatenate(ev_e),
+        )
+    z = np.empty(0, np.int64)
+    return z, z, z, z, z, z
+
+
+def _gather(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate data[starts[i] : starts[i]+lens[i]] slices (row order)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.uint8)
+    seg0 = np.cumsum(lens) - lens
+    out_idx = np.repeat(starts - seg0, lens) + np.arange(total, dtype=np.int64)
+    return data[out_idx]
+
+
+def _str_col(
+    data: np.ndarray,
+    n: int,
+    rows: np.ndarray,
+    vs: np.ndarray,
+    ve: np.ndarray,
+    default_present: bool = False,
+) -> pa.Array:
+    """utf8 column of length n from byte slices; rows without a slice are
+    '' when default_present (proto3 string default) else null (message /
+    optional-string presence). Duplicate rows: last occurrence wins."""
+    lens = np.zeros(n, np.int64)
+    starts = np.zeros(n, np.int64)
+    lens[rows] = ve - vs
+    starts[rows] = vs
+    offsets = np.zeros(n + 1, np.int32)
+    offsets[1:] = np.cumsum(lens)
+    buf = _gather(data, starts, lens)
+    if default_present:
+        validity, nulls = None, 0
+    else:
+        present = np.zeros(n, bool)
+        present[rows] = True
+        nulls = int(n - present.sum())
+        validity = (
+            None
+            if nulls == 0
+            else pa.py_buffer(np.packbits(present, bitorder="little").tobytes())
+        )
+    return pa.Array.from_buffers(
+        pa.utf8(),
+        n,
+        [validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+        null_count=nulls,
+    )
+
+
+_PA_MODS = pa.list_(
+    pa.struct(
+        [("keys", pa.utf8()), ("new_values", pa.utf8()), ("old_values", pa.utf8())]
+    )
+)
+_PA_CPS = pa.list_(
+    pa.struct(
+        [("token", pa.utf8()), ("parent_partition_tokens", pa.list_(pa.utf8()))]
+    )
+)
+_MOD_TYPE_TABLE = pa.array([None, "INSERT", "UPDATE", "DELETE"], type=pa.utf8())
+_VCT_TABLE = pa.array(
+    [None, "OLD_AND_NEW_VALUES", "NEW_ROW", "NEW_VALUES", "NEW_ROW_AND_OLD_VALUES"],
+    type=pa.utf8(),
+)
+
+# region-bytes -> canonical column_types JSON. The covering wire region
+# of a record's field-6 occurrences starts at a key boundary, so equal
+# region bytes imply an equal parsed ColumnType list (wire parsing from
+# a key boundary is deterministic) — an unambiguous memo key with no
+# delimiter-collision hazard.
+_COLTYPES_REGION_CACHE: dict[bytes, str] = {}
+
+
+def _out_schema(tok_type: pa.DataType, ts_type: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [
+            ("record_type", pa.utf8()),
+            ("partition_token", tok_type),
+            ("commit_ts", ts_type),
+            ("record_sequence", pa.utf8()),
+            ("server_txn_id", pa.utf8()),
+            ("is_last_in_txn_in_partition", pa.bool_()),
+            ("table_name", pa.utf8()),
+            ("column_types", pa.utf8()),
+            ("mods", _PA_MODS),
+            ("mod_type", pa.utf8()),
+            ("value_capture_type", pa.utf8()),
+            ("number_of_records_in_transaction", pa.int64()),
+            ("number_of_partitions_in_transaction", pa.int64()),
+            ("transaction_tag", pa.utf8()),
+            ("is_system_transaction", pa.bool_()),
+            ("child_partitions", _PA_CPS),
+        ]
+    )
+
+
+def _take(arr: pa.Array, idx: np.ndarray) -> pa.Array:
+    return arr.take(pa.array(idx, type=pa.int64()))
+
+
+def _decode_data_batch(
+    data: np.ndarray,
+    dstarts: np.ndarray,
+    dends: np.ndarray,
+    tok: pa.Array,
+    cts: pa.Array,
+    idx_data: np.ndarray,
+    schema: pa.Schema,
+) -> pa.RecordBatch:
+    nd = idx_data.shape[0]
+    rows, fields, kst, ival, vs, ve = _parse_events(data, dstarts, dends)
+
+    def sel(f: int):
+        m = fields == f
+        return rows[m], ival[m], vs[m], ve[m], kst[m]
+
+    r2, _, s2, e2, _ = sel(2)
+    r3, _, s3, e3, _ = sel(3)
+    r4, i4, _, _, _ = sel(4)
+    r5, _, s5, e5, _ = sel(5)
+    r6, _, s6, e6, k6 = sel(6)
+    r7, _, s7, e7, _ = sel(7)
+    r8, i8, _, _, _ = sel(8)
+    r9, i9, _, _, _ = sel(9)
+    r10, i10, _, _, _ = sel(10)
+    r11, i11, _, _, _ = sel(11)
+    r12, _, s12, e12, _ = sel(12)
+    r13, i13, _, _, _ = sel(13)
+
+    # column_types: memoized on the covering field-6 wire region
+    kmin = np.full(nd, np.iinfo(np.int64).max, np.int64)
+    vmax = np.full(nd, -1, np.int64)
+    np.minimum.at(kmin, r6, k6)
+    np.maximum.at(vmax, r6, e6)
+    ct_list: list[str] = [None] * nd  # type: ignore[list-item]
+    cache = _COLTYPES_REGION_CACHE
+    empty_json = None
+    for i in range(nd):
+        hi = vmax[i]
+        if hi < 0:
+            if empty_json is None:
+                empty_json = _decode_coltypes([])
+            ct_list[i] = empty_json
+            continue
+        key = data[kmin[i] : hi].tobytes()
+        ct = cache.get(key)
+        if ct is None:
+            m = r6 == i
+            raws = [data[s:e].tobytes() for s, e in zip(s6[m], e6[m])]
+            ct = cache[key] = _decode_coltypes(raws)
+        ct_list[i] = ct
+
+    # mods: regroup step-major occurrences into per-row order (stable)
+    order = np.argsort(r7, kind="stable")
+    ms, me = s7[order], e7[order]
+    counts = np.bincount(r7, minlength=nd)
+    mrows, mf, _, _, mvs, mve = _parse_events(data, ms, me)
+    nm = ms.shape[0]
+
+    def mod_str(f: int) -> pa.Array:
+        m = mf == f
+        return _str_col(data, nm, mrows[m], mvs[m], mve[m])
+
+    mods_struct = pa.StructArray.from_arrays(
+        [mod_str(1), mod_str(2), mod_str(3)], ["keys", "new_values", "old_values"]
+    )
+    mod_offsets = np.zeros(nd + 1, np.int32)
+    mod_offsets[1:] = np.cumsum(counts)
+    mods_arr = pa.ListArray.from_arrays(
+        pa.array(mod_offsets, type=pa.int32()), mods_struct
+    )
+
+    def bool_col(rws: np.ndarray, iv: np.ndarray) -> pa.Array:
+        arr = np.zeros(nd, bool)
+        arr[rws] = iv != 0
+        return pa.array(arr)
+
+    def int_col(rws: np.ndarray, iv: np.ndarray) -> pa.Array:
+        arr = np.zeros(nd, np.int64)
+        arr[rws] = iv
+        return pa.array(arr)
+
+    def enum_col(table: pa.Array, rws: np.ndarray, iv: np.ndarray) -> pa.Array:
+        codes = np.zeros(nd, np.int32)
+        codes[rws] = iv.astype(np.int32)
+        if codes.size and codes.max() >= len(table):
+            j = int(codes.argmax())
+            raise KeyError(int(codes[j]))  # same failure as MOD_TYPE_NAME[v]
+        return table.take(pa.array(codes, type=pa.int32()))
+
+    zeros = np.zeros(nd, np.int32)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([DATA_CHANGE], type=pa.utf8()).take(pa.array(zeros)),
+            _take(tok, idx_data),
+            _take(cts, idx_data),
+            _str_col(data, nd, r2, s2, e2),
+            _str_col(data, nd, r3, s3, e3),
+            bool_col(r4, i4),
+            _str_col(data, nd, r5, s5, e5),
+            pa.array(ct_list, type=pa.utf8()),
+            mods_arr,
+            enum_col(_MOD_TYPE_TABLE, r8, i8),
+            enum_col(_VCT_TABLE, r9, i9),
+            int_col(r10, i10),
+            int_col(r11, i11),
+            _str_col(data, nd, r12, s12, e12, default_present=True),
+            bool_col(r13, i13),
+            pa.nulls(nd, type=_PA_CPS),
+        ],
+        schema=schema,
+    )
+
+
+def _decode_ctrl_batch(
+    data: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    tok: pa.Array,
+    cts: pa.Array,
+    idx_ctrl: np.ndarray,
+    schema: pa.Schema,
+) -> pa.RecordBatch:
+    toks = _take(tok, idx_ctrl)
+    recs = [
+        decode_record(
+            data[starts[i] : ends[i]].tobytes(), toks[j].as_py()
+        )
+        for j, i in enumerate(idx_ctrl)
+    ]
+    cols = [
+        pa.array([r["record_type"] for r in recs], type=pa.utf8()),
+        toks,
+        _take(cts, idx_ctrl),
+    ]
+    for name, typ in list(zip(schema.names, schema.types))[3:]:
+        cols.append(pa.array([r[name] for r in recs], type=typ))
+    return pa.RecordBatch.from_arrays(cols, schema=schema)
+
+
+def decode_proto_wire(log: DataFrame) -> DataFrame:
+    """Proto wire log -> canonical EVENT_LOG_SCHEMA DataFrame.
+
+    Vectorized: numpy varint automaton over the batch's concatenated
+    Arrow byte buffer, output assembled as Arrow arrays (mapInArrow) —
+    no per-row Python objects for DataChange records. Runs AFTER the
+    scan's token/commit_ts pruning (the filters sit on plain log
+    columns), so only the batch's pruned slice pays the decode.
+    Differential-tested against decode_proto_wire_pandas / decode_record
+    (tests/test_proto_wire.py)."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            rec = rb.column(names.index("record_bytes"))
+            tok = rb.column(names.index("partition_token"))
+            cts = rb.column(names.index("commit_ts"))
+            off_dt = np.int64 if pa.types.is_large_binary(rec.type) else np.int32
+            bufs = rec.buffers()
+            offs = np.frombuffer(bufs[1], dtype=off_dt)[
+                rec.offset : rec.offset + len(rec) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            starts, ends = offs[:-1], offs[1:]
+            if bool((starts >= ends).any()):
+                raise ValueError("empty ChangeStreamRecord")
+            key0 = data[starts]
+            if bool(((key0 & 7) != 2).any()):
+                j = int(np.flatnonzero((key0 & 7) != 2)[0])
+                raise ValueError(
+                    f"unexpected wire type {int(key0[j] & 7)} for field "
+                    f"{int(key0[j] >> 3)}"
+                )
+            ln, p = _vec_varints(data, starts + 1)
+            rtype = (key0 >> 3).astype(np.int64)
+            schema = _out_schema(tok.type, cts.type)
+            idx_data = np.flatnonzero(rtype == 1)
+            if idx_data.size:
+                yield _decode_data_batch(
+                    data, p[idx_data], (p + ln)[idx_data], tok, cts, idx_data, schema
+                )
+            idx_ctrl = np.flatnonzero(rtype != 1)
+            if idx_ctrl.size:
+                yield _decode_ctrl_batch(
+                    data, starts, ends, tok, cts, idx_ctrl, schema
+                )
+
+    return log.mapInArrow(kernel, schema=EVENT_LOG_SCHEMA)

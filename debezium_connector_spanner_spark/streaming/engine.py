@@ -815,6 +815,14 @@ class CdcReplayEngine:
         tasks = self._scaler.step(self._work_units(active, batch_end_us))
         salt_width = max(min(16, self._scaler.tasks_max), tasks)
         scan = self._active_scan(active, batch_end_us) if active else None
+        # NOTE (r5, measured): decode-once persist of the wire-dialect
+        # scan was tried and REJECTED — for proto the vectorized kernel
+        # is cheaper than the cache round-trip (9.6s vs 12.1s replay),
+        # and for pg the in-memory columnar cache build costs more than
+        # the second pruned parse it saves (26-31s either way at 411k
+        # events). Per-job Catalyst pruning (ctrl never extracts mods,
+        # the fold never reads column_types) is the winning shape.
+        persisted_scan = None
         if scan is not None:
             self.meter.on_query()  # one change-stream query per batch window
 

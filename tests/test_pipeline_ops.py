@@ -170,7 +170,7 @@ def test_real_media_kernels_decode_and_extract(spark):
 
     assert SELECTED_KERNELS["image"] in ("pil", "bmp-builtin")
     assert SELECTED_KERNELS["audio"] in ("soundfile", "wave-stdlib")
-    assert SELECTED_KERNELS["video"] == "stub"
+    assert SELECTED_KERNELS["video"] in ("pyav", "avi-builtin")
 
     rng = np.random.RandomState(3)
     px = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
@@ -371,3 +371,131 @@ def test_rolling_fingerprint_edit_robust(spark):
     h = int(hashlib.md5(b"tiny").hexdigest()[:15], 16)
     assert small == h
     assert all(v is not None and v >= 0 for v in got.values())
+
+
+def test_pipeline_oracle_parity_r4_r5_ops(spark):
+    """In-repo oracle-compare for the ops the driver window missed in r4
+    (ADVICE r4): docs_decontaminate, docs_pack_sequences, plus the new
+    emb_topk_lsh_recall — the same rows/cols/value-hash/dtype gate as
+    tools/check_oracles.py, at sf0.001 for speed."""
+    import duckdb
+
+    from tools.check_oracles import TABLES, dtype_mismatches, value_hash
+    from debezium_connector_spanner_spark.plans.pipeline_queries import (
+        PIPELINE_QUERIES,
+        pipeline_oracles,
+    )
+
+    sf_dir = SF
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = pipeline_oracles()
+    for name in ("docs_decontaminate", "docs_pack_sequences", "emb_topk_lsh_recall"):
+        df = PIPELINE_QUERIES[name](spark, sf_dir)
+        rows = [tuple(r) for r in df.collect()]
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        assert sorted(df.columns) == sorted(ocols), name
+        assert len(rows) == len(orows), name
+        assert value_hash(df.columns, rows) == value_hash(ocols, orows), name
+        assert not dtype_mismatches(df.dtypes, con, oracles[name]), name
+
+
+def test_lsh_recall_query_shape(spark):
+    """emb_topk_lsh_recall returns one row per query with recall in
+    [0,1] and hits <= k_bf."""
+    from debezium_connector_spanner_spark.plans.pipeline_queries import (
+        q_emb_topk_lsh_recall,
+    )
+
+    rows = q_emb_topk_lsh_recall(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["hits"] <= r["k_bf"]
+
+
+def _make_avi(frames) -> bytes:
+    """Minimal RIFF/AVI container with uncompressed 24-bit DIB frames
+    (bottom-up BGR rows padded to 4 bytes) — the standard layout PyAV /
+    ffmpeg produce for -c:v rawvideo -pix_fmt bgr24."""
+    import struct as st
+
+    import numpy as np
+
+    h, w, _ = frames[0].shape
+    stride = (w * 3 + 3) & ~3
+
+    def dib(px):
+        rows = []
+        for r in px[::-1]:  # bottom-up
+            row = r[:, [2, 1, 0]].astype(np.uint8).tobytes()  # RGB->BGR
+            rows.append(row + b"\x00" * (stride - len(row)))
+        return b"".join(rows)
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + st.pack("<I", len(body)) + body + pad
+
+    def lst(subtype, body):
+        return chunk(b"LIST", subtype + body)
+
+    avih = st.pack("<14I", 40000, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (
+        b"vids" + b"DIB " + st.pack("<10I", 0, 0, 0, 1, 25, 0, len(frames), 0, 0, 0)
+    )
+    strf = st.pack("<iiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def test_builtin_avi_video_kernel():
+    """r5 video rung: the pure-numpy AVI demuxer recovers frames
+    pixel-exactly, samples evenly past max_frames, and decode_features
+    routes RIFF/AVI video payloads through it (stub only for real
+    codecs when no codec lib exists)."""
+    import numpy as np
+
+    from debezium_connector_spanner_spark.functions.multimodal import (
+        _features_image,
+        _sample_indices,
+        _stub_features,
+        decode_avi,
+        decode_features,
+    )
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8) for _ in range(7)]
+    payload = _make_avi(frames)
+
+    got = decode_avi(payload, max_frames=7)
+    assert len(got) == 7
+    for a, b in zip(got, frames):
+        assert (a == b).all()  # pixel-exact demux
+
+    sampled = decode_avi(payload, max_frames=3)
+    idx = _sample_indices(7, 3)
+    assert idx == [0, 3, 6]
+    for a, j in zip(sampled, idx):
+        assert (a == frames[j]).all()
+
+    want = np.stack(
+        [_features_image(frames[j]) for j in _sample_indices(7, 4)]
+    ).mean(axis=0)
+    assert np.allclose(decode_features(payload, "video"), want)
+
+    # non-AVI video payloads still stub (no codec lib in this container)
+    junk = b"\x00\x00\x00\x18ftypmp42" + b"x" * 64
+    assert np.allclose(decode_features(junk, "video"), _stub_features(junk))
+    # truncated AVI falls back to the stub instead of raising
+    broken = payload[: len(payload) // 3]
+    assert np.allclose(decode_features(broken, "video"), _stub_features(broken))

@@ -330,3 +330,116 @@ def test_lifecycle_records_surface_without_changing_replay(spark, tmp_root):
     )
     want = fold_final_state(fx).sort_values(["repo", "path"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_vectorized_decode_matches_pandas_reference(spark, tmp_root):
+    """Differential gate for the r5 numpy/Arrow decode: EVERY column of
+    every record kind (data + heartbeat + child_partitions + end +
+    lifecycle) must match the row-at-a-time decode_record reference
+    path, nulls and defaults included."""
+    from debezium_connector_spanner_spark.sources.proto_wire import (
+        decode_proto_wire_pandas,
+    )
+
+    fx = _fixture(tmp_root)
+    log = spark.read.schema(PROTO_LOG_SCHEMA).parquet(
+        os.path.join(fx, "events_proto")
+    )
+    cols = [f.name for f in EVENT_LOG_SCHEMA.fields]
+    sort_keys = ["partition_token", "commit_ts", "record_sequence", "record_type"]
+
+    def norm(df):
+        pdf = df.select(
+            *[
+                F.to_json(F.col(c)).alias(c)
+                if c in ("mods", "child_partitions")
+                else F.col(c)
+                for c in cols
+            ]
+        ).toPandas()
+        return pdf.sort_values(sort_keys, na_position="first").reset_index(
+            drop=True
+        )
+
+    got = norm(decode_proto_wire(log))
+    want = norm(decode_proto_wire_pandas(log))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_vectorized_decode_edge_records(spark):
+    """Hand-built edge shapes through the vectorized path: DELETE with
+    absent new_values, empty transaction_tag, multi-mod records, a
+    record with NO column_types, interleaved control records, and an
+    empty pruned slice (zero-row batch)."""
+    import json as _json
+
+    from debezium_connector_spanner_spark.sources.proto_wire import (
+        decode_proto_wire_pandas,
+        encode_record,
+    )
+
+    ct = _json.dumps(
+        [{"name": "repo", "type": {"code": "STRING"}, "is_primary_key": True,
+          "ordinal_position": 1}],
+        sort_keys=True,
+    )
+    base = dict(
+        record_sequence="s1", server_txn_id="txn", is_last_in_txn_in_partition=True,
+        table_name="repos", column_types=ct, mod_type="INSERT",
+        value_capture_type="OLD_AND_NEW_VALUES", number_of_records_in_transaction=2,
+        number_of_partitions_in_transaction=1, transaction_tag="",
+        is_system_transaction=False, commit_ts_us=1_700_000_000_000_000,
+        record_type="data_change",
+    )
+    recs = [
+        dict(base, mods=[{"keys": '{"repo":"r","path":"p"}', "new_values": '{"lang":"py"}',
+                          "old_values": None}]),
+        # DELETE: no new_values anywhere
+        dict(base, record_sequence="s2", mod_type="DELETE",
+             mods=[{"keys": '{"repo":"r","path":"p"}', "new_values": None,
+                    "old_values": '{"lang":"py"}'}]),
+        # multi-mod + non-empty tag
+        dict(base, record_sequence="s3", transaction_tag="tag9",
+             mods=[{"keys": f'{{"repo":"r{i}"}}', "new_values": '{"lang":"go"}',
+                    "old_values": None} for i in range(4)]),
+        # no column_types announced
+        dict(base, record_sequence="s4", column_types="[]",
+             mods=[{"keys": '{"repo":"x"}', "new_values": "{}", "old_values": None}]),
+        {"record_type": "heartbeat", "commit_ts_us": 1_700_000_000_000_001},
+        {"record_type": "child_partitions", "commit_ts_us": 1_700_000_000_000_002,
+         "record_sequence": "cs1",
+         "child_partitions": [{"token": "c1", "parent_partition_tokens": ["p0"]}]},
+        {"record_type": "partition_end", "commit_ts_us": 1_700_000_000_000_003},
+    ]
+    import datetime
+
+    rows = [
+        ("tokA", datetime.datetime.fromtimestamp(r["commit_ts_us"] / 1e6,
+                                                 datetime.timezone.utc),
+         encode_record(dict(r, partition_token="tokA")))
+        for r in recs
+    ]
+    log = spark.createDataFrame(rows, PROTO_LOG_SCHEMA)
+    cols = [f.name for f in EVENT_LOG_SCHEMA.fields]
+
+    def norm(df):
+        pdf = df.select(
+            *[
+                F.to_json(F.col(c)).alias(c)
+                if c in ("mods", "child_partitions")
+                else F.col(c)
+                for c in cols
+            ]
+        ).toPandas()
+        return pdf.sort_values(["record_sequence", "record_type"],
+                               na_position="first").reset_index(drop=True)
+
+    got = norm(decode_proto_wire(log))
+    want = norm(decode_proto_wire_pandas(log))
+    pd.testing.assert_frame_equal(got, want)
+    # DELETE row: new_values must be genuinely NULL, not ''
+    d = decode_proto_wire(log).where("record_sequence = 's2'").collect()[0]
+    assert d["mods"][0]["new_values"] is None
+    assert d["mods"][0]["old_values"] is not None
+    # empty pruned slice through the kernel
+    assert decode_proto_wire(log.where("commit_ts < timestamp'1970-01-02'")).count() == 0
