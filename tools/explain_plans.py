@@ -71,10 +71,11 @@ def main():
                  "events_sessions", "events_value_quantiles",
                  "events_asof_attribution",
                  "events_purchases_in_click_sessions",
-                 "orders_cube", "parts_never_ordered"]:
+                 "orders_cube", "parts_never_ordered", "events_funnel"]:
         out.append(summarize(name, plan_of(ANALYTIC_QUERIES[name](spark, SF))))
     for name in ["docs_jaccard_pairs", "docs_minhash_lsh_pairs", "docs_fingerprint",
-                 "emb_topk_bruteforce", "emb_topk_lsh", "emb_near_dup_pairs"]:
+                 "emb_topk_bruteforce", "emb_topk_lsh", "emb_near_dup_pairs",
+                 "emb_topk_lsh_recall"]:
         out.append(summarize(name, plan_of(PIPELINE_QUERIES[name](spark, SF))))
 
     # CDC merge path: decode -> fold (the one exchange) on a batch slice
