@@ -845,8 +845,26 @@ class CdcReplayEngine:
             # data rows contribute only their count and distinct
             # (table, column_types) pairs (dictionary-encoded -> cheap). ---
             is_data = F.col("record_type") == DATA_CHANGE
+            ctrl_src = scan
+            if self.wire_format == "proto":
+                # projection hint through the Python kernel: the control
+                # aggregate below never reads mods, but Catalyst cannot
+                # column-prune through mapInArrow, so the ctrl pass gets
+                # its own mods-free decode of the same pruned raw slice
+                # (struct gets this for free from parquet column pruning;
+                # pg gets it from Catalyst pruning the mods extraction)
+                from debezium_connector_spanner_spark.sources.proto_wire import (
+                    decode_proto_wire,
+                )
+
+                ctrl_src = decode_proto_wire(
+                    self._active_scan(active, batch_end_us, decode=False).drop(
+                        "_offset_us"
+                    ),
+                    include_mods=False,
+                )
             ctrl_df = (
-                scan.groupBy("partition_token")
+                ctrl_src.groupBy("partition_token")
                 .agg(
                     F.sum((~is_data).cast("long")).alias("n_ctrl"),
                     F.sum(is_data.cast("long")).alias("n_data"),
