@@ -224,3 +224,30 @@ def test_semijoin_token_filter_matches_inlist(spark, tmp_root):
 
     eng.run()
     _assert_matches_oracle(eng, fx)
+
+
+def test_schema_evolution_online_proto_wire(spark, tmp_root):
+    """Additive schema evolution through the VECTORIZED proto decode:
+    the new column's ColumnType announcement rides field-6 submessages,
+    exercising the region-keyed coltypes memo across schema versions
+    plus the engine's observe -> rollback -> re-merge retry, end-to-end
+    against the pandas oracle (struct-wire evolution is covered by
+    test_schema_evolution_online; this pins the r5 kernel path)."""
+    from debezium_connector_spanner_spark.fixtures.generator import write_proto_log
+
+    cfg = GeneratorConfig(
+        n_repos=8,
+        paths_per_repo=5,
+        hot_repos=2,
+        events_per_key_mean=4,
+        schema_evolution=True,
+    )
+    fx = os.path.join(tmp_root, "fx-evo-proto")
+    write_fixture(fx, cfg)
+    write_proto_log(fx)
+    eng = _mk_engine(spark, fx, tmp_root, cfg=cfg, wire_format="proto")
+    eng.run()
+    got = _final_pd(eng)
+    assert "stars" in got.columns
+    want = fold_final_state(fx).sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
