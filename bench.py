@@ -172,6 +172,60 @@ def run_dialect_compare(spark) -> dict:
         out[f"{wire}_s"] = round(time.monotonic() - t0, 3)
     out["proto_over_struct"] = round(out["proto_s"] / out["struct_s"], 2)
     out["pg_over_struct"] = round(out["pg_json_s"] / out["struct_s"], 2)
+
+    # Isolated decode-job cost (best of 2, warm): the full-replay ratios
+    # above are hostage to the struct leg's steal luck (its wall swings
+    # 8-23s rep to rep); a single decode-and-count job over the SAME
+    # full log is the stable per-dialect signal.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from debezium_connector_spanner_spark.sources.event_schema import (
+        EVENT_LOG_SCHEMA,
+    )
+    from debezium_connector_spanner_spark.sources.pg_json import (
+        PG_LOG_SCHEMA,
+        decode_pg_json,
+    )
+    from debezium_connector_spanner_spark.sources.proto_wire import (
+        PROTO_LOG_SCHEMA,
+        decode_proto_wire,
+    )
+
+    def _force(df):
+        # count() alone lets Catalyst elide projections; summing
+        # size(mods) forces each dialect to materialize the heavy path
+        # (parquet mods read / variant mods extraction / full kernel)
+        return df.select(F.size("mods").alias("m")).agg(F.sum("m")).collect()
+
+    jobs = {
+        "struct_read": lambda: _force(
+            spark.read.schema(EVENT_LOG_SCHEMA).parquet(os.path.join(fx, "events"))
+        ),
+        "proto_decode": lambda: _force(
+            decode_proto_wire(
+                spark.read.schema(PROTO_LOG_SCHEMA).parquet(
+                    os.path.join(fx, "events_proto")
+                )
+            )
+        ),
+        "pg_decode": lambda: _force(
+            decode_pg_json(
+                spark.read.schema(PG_LOG_SCHEMA).parquet(
+                    os.path.join(fx, "events_pg")
+                )
+            )
+        ),
+    }
+    decode_only = {}
+    for name, job in jobs.items():
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            job()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        decode_only[f"{name}_s"] = round(best, 3)
+    out["decode_only"] = decode_only
     return out
 
 
