@@ -167,3 +167,22 @@ def test_engine_constructor_raises_with_full_list(spark, tmp_root):
     # nothing was created before the raise (no side effects)
     assert not os.path.exists(os.path.join(tmp_root, "c", "LATEST"))
     assert isinstance(ei.value, ValueError)  # back-compat exception type
+
+
+def test_driver_window_covers_all_pipeline_queries():
+    """The driver's correctness gate checks only the FIRST 50 queries()
+    entries (r4 blemish: 18 pipeline ops registered past the window).
+    Guard the registration order: every CDC and pipeline query must sit
+    inside the first 50, and every entry must have an oracle."""
+    import __spark_entry__ as e
+    from debezium_connector_spanner_spark.plans.cdc_queries import CDC_QUERIES
+    from debezium_connector_spanner_spark.plans.pipeline_queries import (
+        PIPELINE_QUERIES,
+    )
+
+    names = list(e.queries())
+    window = set(names[:50])
+    missing = [n for n in list(CDC_QUERIES) + list(PIPELINE_QUERIES) if n not in window]
+    assert not missing, f"outside the driver's 50-row window: {missing}"
+    oracles = e.oracle_sql()
+    assert [n for n in names if n not in oracles] == []

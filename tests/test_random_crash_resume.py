@@ -268,3 +268,31 @@ def test_active_queries_gauge_balanced_on_batch_abort(spark, tmp_root, monkeypat
     assert eng.meter.active_queries == 0
     assert eng.meter.queries_issued_total >= 1
     eng.close()
+
+
+def test_crash_resume_proto_wire(spark, tmp_root):
+    """Crash/resume over the VECTORIZED proto wire: checkpoint-only
+    resume must reproduce the oracle byte-identically when the log is
+    decoded through the r5 mapInArrow kernel (raw-log pruning + decode
+    happen per batch, so the resume path re-derives everything from
+    offsets alone)."""
+    from debezium_connector_spanner_spark.fixtures.generator import write_proto_log
+
+    cfg = GeneratorConfig(
+        n_repos=8, paths_per_repo=4, hot_repos=2, events_per_key_mean=4, seed=55
+    )
+    fx = os.path.join(tmp_root, "fxp")
+    write_fixture(fx, cfg)
+    write_proto_log(fx)
+    eng = _run_with_crashes(
+        spark, fx, os.path.join(tmp_root, "runp"), cfg, 6, [2, 4],
+        wire_format="proto",
+    )
+    got = (
+        eng.final_state()
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = fold_final_state(fx).sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
