@@ -962,3 +962,66 @@ def pipeline_oracles() -> dict[str, str]:  # noqa: F811 — extend the base map
     out = _BASE_PIPELINE_ORACLES3()
     out["emb_topk_lsh_recall"] = sql_emb_topk_lsh_recall()
     return out
+
+
+def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph (functions/dedup.py connected_components — iterative min-label
+    propagation, one shuffle per round, converges in graph-diameter
+    rounds), cluster id = min doc_id in the component, keep exactly that
+    representative. Docs in no pair are their own kept singleton. The
+    DuckDB oracle replays the identical pair set (sql_docs_jaccard —
+    LSH is exact-verified) and closes it transitively with a recursive
+    CTE, so the cluster assignment is fully oracle-checked."""
+    from debezium_connector_spanner_spark.functions.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=128, bands=32, threshold=0.8
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        d.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).cast("long").alias("cluster_id"),
+        )
+        .withColumn("is_kept", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def sql_docs_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE lshpairs AS (
+  SELECT doc_a, doc_b FROM ({sql_docs_jaccard()})
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM lshpairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM lshpairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS node, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+SELECT d.doc_id,
+  CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster_id,
+  coalesce(c.cluster, d.doc_id) = d.doc_id AS is_kept
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+PIPELINE_QUERIES.update({"docs_dup_clusters": q_docs_dup_clusters})
+_BASE_PIPELINE_ORACLES4 = pipeline_oracles
+
+
+def pipeline_oracles() -> dict[str, str]:  # noqa: F811 — extend the base map
+    out = _BASE_PIPELINE_ORACLES4()
+    out["docs_dup_clusters"] = sql_docs_dup_clusters()
+    return out

@@ -499,3 +499,78 @@ def test_builtin_avi_video_kernel():
     # truncated AVI falls back to the stub instead of raising
     broken = payload[: len(payload) // 3]
     assert np.allclose(decode_features(broken, "video"), _stub_features(broken))
+
+
+def test_connected_components_shapes(spark):
+    """CC operator: star, path, two components, singleton exclusion,
+    convergence error on an adversarial path with max_iter=1."""
+    import pytest
+
+    from debezium_connector_spanner_spark.functions.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 2), (10, 7), (3, 4), (4, 5), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, "doc_a", "doc_b").collect()
+    }
+    assert got == {2: 2, 7: 2, 10: 2, 3: 3, 4: 3, 5: 3, 6: 3}
+
+    long_path = spark.createDataFrame(
+        [(i, i + 1) for i in range(8, 0, -1)], "doc_a long, doc_b long"
+    )
+    full = {
+        r["node"]: r["component"]
+        for r in connected_components(long_path, "doc_a", "doc_b").collect()
+    }
+    assert set(full.values()) == {1}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(long_path, "doc_a", "doc_b", max_iter=1)
+
+
+def test_dup_clusters_transitive(spark, tmp_path):
+    """A near-dup CHAIN (A~B, B~C, but A!~C) must land in ONE cluster —
+    the property pairs alone cannot express."""
+    import os
+
+    # 60 DISTINCT words -> 58 distinct 3-shingles. Swapping one interior
+    # word flips exactly 3 shingles, so 2 swaps per step gives
+    # j = 52/64 = 0.8125 >= 0.8 per edge, while A vs C differ by 4
+    # words: j = 46/70 = 0.657 < 0.8 — a true chain (no direct A-C edge).
+    base = [f"w{i:02d}" for i in range(60)]
+    b = list(base)
+    b[10], b[30] = "b10", "b30"
+    c = list(b)
+    c[20], c[40] = "c20", "c40"
+    docs = {
+        1: " ".join(base),
+        2: " ".join(b),   # ~ doc 1 (j = 0.8125)
+        3: " ".join(c),   # ~ doc 2 (j = 0.8125), NOT ~ doc 1 (j = 0.657)
+        9: "completely different content about spark shuffles " * 8,
+    }
+    rows = [(k, v) for k, v in docs.items()]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    from debezium_connector_spanner_spark.plans.pipeline_queries import (
+        q_docs_dup_clusters,
+    )
+
+    # precondition: the pair graph really is a chain (1-2, 2-3, no 1-3)
+    from debezium_connector_spanner_spark.functions.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(d, "doc_id", "text").collect()
+    }
+    assert pairs == {(1, 2), (2, 3)}
+
+    out = {r["doc_id"]: r for r in q_docs_dup_clusters(spark, str(tmp_path)).collect()}
+    assert out[9]["cluster_id"] == 9 and out[9]["is_kept"]
+    assert {out[i]["cluster_id"] for i in (1, 2, 3)} == {1}  # transitive closure
+    assert out[1]["is_kept"] and not out[2]["is_kept"] and not out[3]["is_kept"]
