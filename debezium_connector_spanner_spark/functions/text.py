@@ -222,3 +222,40 @@ def pack_sequences(
         F.floor(start / context_len).cast("long").alias("bin"),
         n_bins.cast("long").alias("n_bins"),
     )
+
+
+# ---------------------------------------------------------------- PII
+# Patterns chosen for Java-regex / RE2 (DuckDB) agreement: character
+# classes and bounded repetition only — no lookaround (RE2 has none),
+# no \s (\x0B membership differs between engines), \b is ASCII-safe in
+# both. The same three literals are embedded in the SQL oracle.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3}[ \-][0-9]{2,4}[ \-][0-9]{3,4}(?:[ \-][0-9]{1,4})?"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII detection + redaction for training-data pipelines: emails,
+    international-format phone numbers and IPv4 literals are counted
+    and replaced with typed placeholder tokens.
+
+    Entirely JVM-side codegen'd regexp_count/regexp_replace — no UDF,
+    no shuffle: a pure narrow projection that runs at parquet-scan
+    speed at any corpus size. Redaction order (email -> ip -> phone)
+    is part of the contract: an email is redacted before its digits
+    could half-match the phone pattern, and the SQL oracle applies the
+    identical order."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    step1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    step2 = F.regexp_replace(step1, PII_IPV4_RE, "<IP>")
+    step3 = F.regexp_replace(step2, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        F.regexp_count(step1, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(step2, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        step3.alias("redacted"),
+    )

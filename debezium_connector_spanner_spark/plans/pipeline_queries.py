@@ -1025,3 +1025,205 @@ def pipeline_oracles() -> dict[str, str]:  # noqa: F811 — extend the base map
     out = _BASE_PIPELINE_ORACLES4()
     out["docs_dup_clusters"] = sql_docs_dup_clusters()
     return out
+
+
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (functions/text.py pii_scrub): emails, intl
+    phone numbers, IPv4 literals -> counts + typed placeholders, pure
+    codegen'd JVM regex (no UDF, no shuffle). The synthetic corpus has
+    no natural PII, so the query PLANTS it deterministically from
+    doc_id (email every 5th doc, phone every 7th, IP every 11th) with
+    the identical construction in the SQL oracle; the redacted text is
+    compared by sha256. Patterns are Java-regex/RE2-agreement-safe
+    (character classes only, no lookaround, no \\s)."""
+    from debezium_connector_spanner_spark.functions.text import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" contact u"), did.cast("string"), F.lit("@example.com now")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did % 254) + 1).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_scrub(aug)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.sha2("redacted", 256).alias("redacted_sha"),
+    )
+
+
+def sql_docs_pii_scrub() -> str:
+    from debezium_connector_spanner_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 5 = 0
+       THEN ' contact u' || doc_id || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+       THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+       THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 254 + 1)
+       ELSE '' END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+    regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+    CAST(len(regexp_extract_all(t1, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+    regexp_replace(t1, '{PII_IPV4_RE}', '<IP>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+    CAST(len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+    regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_emails, n_ips, n_phones, sha256(t3) AS redacted_sha FROM s3
+"""
+
+
+PIPELINE_QUERIES.update({"docs_pii_scrub": q_docs_pii_scrub})
+_BASE_PIPELINE_ORACLES5 = pipeline_oracles
+
+
+def pipeline_oracles() -> dict[str, str]:  # noqa: F811 — extend the base map
+    out = _BASE_PIPELINE_ORACLES5()
+    out["docs_pii_scrub"] = sql_docs_pii_scrub()
+    return out
+
+
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-style filters a
+    pretraining pipeline runs corpus-wide): per doc, the duplicate-line
+    fraction (1 - distinct/total lines — pure narrow JVM expressions,
+    no shuffle) and the top word-bigram share (most frequent bigram's
+    occurrences over total bigrams — explode + map-side-combined count,
+    ONE shuffle keyed (doc_id, bigram), the wordcount shape that scales
+    to any corpus). repetitive flags docs past the published-style
+    thresholds (top-bigram share > 0.18 or dup-line fraction > 0.30)."""
+    d = _t(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array()
+    ).otherwise(
+        F.transform(
+            F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(w, i + 2)),
+        )
+    )
+    base = d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.round(
+            1.0 - F.size(F.array_distinct(lines)) / F.size(lines), 6
+        ).alias("dup_line_frac"),
+        grams.alias("grams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("grams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_n"), F.sum("n").alias("total_n"))
+    )
+    out = (
+        base.drop("grams")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            F.round(
+                F.coalesce(F.col("top_n") / F.col("total_n"), F.lit(0.0)), 6
+            ).alias("top_bigram_share"),
+        )
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("top_bigram_share") > 0.18) | (F.col("dup_line_frac") > 0.30),
+    )
+
+
+SQL_DOCS_REPETITION = r"""
+WITH lines AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+),
+lstats AS (
+  SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+    round(1.0 - len(list_distinct(ls)) / CAST(len(ls) AS DOUBLE), 6)
+      AS dup_line_frac
+  FROM lines
+),
+toks AS (
+  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+    THEN [w[i+1] || ' ' || w[i+2] for i in range(len(w) - 1)]
+    ELSE [] END) AS g
+  FROM toks
+),
+counted AS (
+  SELECT doc_id, g, count(*) AS n FROM grams GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, max(n) AS top_n, sum(n) AS total_n FROM counted GROUP BY 1
+)
+SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+  round(coalesce(top.top_n / CAST(top.total_n AS DOUBLE), 0.0), 6)
+    AS top_bigram_share,
+  (round(coalesce(top.top_n / CAST(top.total_n AS DOUBLE), 0.0), 6) > 0.18
+   OR l.dup_line_frac > 0.30) AS repetitive
+FROM lstats l LEFT JOIN top ON l.doc_id = top.doc_id
+"""
+
+
+PIPELINE_QUERIES.update({"docs_repetition": q_docs_repetition})
+_BASE_PIPELINE_ORACLES6 = pipeline_oracles
+
+
+def pipeline_oracles() -> dict[str, str]:  # noqa: F811 — extend the base map
+    out = _BASE_PIPELINE_ORACLES6()
+    out["docs_repetition"] = SQL_DOCS_REPETITION
+    return out

@@ -574,3 +574,48 @@ def test_dup_clusters_transitive(spark, tmp_path):
     assert out[9]["cluster_id"] == 9 and out[9]["is_kept"]
     assert {out[i]["cluster_id"] for i in (1, 2, 3)} == {1}  # transitive closure
     assert out[1]["is_kept"] and not out[2]["is_kept"] and not out[3]["is_kept"]
+
+
+def test_pii_scrub_semantics(spark):
+    """Redaction contract: emails before phones (so an email's digits
+    can't half-match the phone pattern), typed placeholders, exact
+    counts, non-PII text untouched."""
+    from debezium_connector_spanner_spark.functions.text import pii_scrub
+
+    rows = [
+        (1, "reach me at jane.doe+spam@corp.example.org or +44 20 7946 0958 ok"),
+        (2, "server 192.168.001.007 and 10.0.0.1 rebooted"),
+        (3, "no pii here, just words and 3.14 and version 1.2"),
+        (4, "two mails a@b.io c.d@e.f.gov one phone +1-555-0100"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (1, 1, 0)
+    assert "<EMAIL>" in out[1]["redacted"] and "<PHONE>" in out[1]["redacted"]
+    assert "jane.doe" not in out[1]["redacted"]
+    assert out[2]["n_ips"] == 2 and out[2]["redacted"].count("<IP>") == 2
+    assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ips"]) == (0, 0, 0)
+    assert out[3]["redacted"] == rows[2][1]
+    assert out[4]["n_emails"] == 2 and out[4]["n_phones"] == 1
+
+
+def test_repetition_signals(spark, tmp_path):
+    """Crafted docs: a heavily repeated bigram doc and a dup-line doc
+    must flag repetitive; varied text must not."""
+    from debezium_connector_spanner_spark.plans.pipeline_queries import (
+        q_docs_repetition,
+    )
+
+    docs = [
+        (1, "buy now " * 50),                                # bigram spam
+        (2, "line one\nline two\nline one\nline one\nend"),  # dup lines
+        (3, " ".join(f"w{i}" for i in range(120))),          # varied
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in q_docs_repetition(spark, str(tmp_path)).collect()}
+    assert out[1]["repetitive"] and out[1]["top_bigram_share"] > 0.4
+    assert out[2]["repetitive"] and abs(out[2]["dup_line_frac"] - 0.4) < 1e-9
+    assert not out[3]["repetitive"]
+    assert out[3]["top_bigram_share"] < 0.02 and out[3]["dup_line_frac"] == 0.0
