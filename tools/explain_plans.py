@@ -75,7 +75,7 @@ def main():
         out.append(summarize(name, plan_of(ANALYTIC_QUERIES[name](spark, SF))))
     for name in ["docs_jaccard_pairs", "docs_minhash_lsh_pairs", "docs_fingerprint",
                  "emb_topk_bruteforce", "emb_topk_lsh", "emb_near_dup_pairs",
-                 "emb_topk_lsh_recall"]:
+                 "emb_topk_lsh_recall", "docs_pii_scrub", "docs_repetition"]:
         out.append(summarize(name, plan_of(PIPELINE_QUERIES[name](spark, SF))))
 
     # CDC merge path: decode -> fold (the one exchange) on a batch slice
