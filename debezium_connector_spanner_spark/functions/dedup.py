@@ -242,9 +242,10 @@ def connected_components(
     loop stops when a round changes nothing. Rounds needed = the pair
     graph's diameter, which for near-dup clusters is tiny (docs similar
     to a common hub are 2 hops apart; measured <= 4 on every fixture) —
-    for adversarial long-path graphs swap in the large-star/small-star
-    contraction (Kiveris et al., O(log n) rounds); the loop shape and
-    convergence detection stay the same. Each round is one shuffle
+    for adversarial long-path graphs use connected_components_star below
+    (star contraction, O(log n) rounds regardless of diameter,
+    union-find-differential-tested); the loop shape and convergence
+    detection are shared. Each round is one shuffle
     (neighbor-min aggregate) plus a co-partitioned join, and each
     round's labels are localCheckpoint()ed: an iterative DataFrame loop
     must TRUNCATE lineage per round — the label frame feeds two places
@@ -307,8 +308,69 @@ def connected_components(
                 return labels.select("node", F.col("label").alias("component"))
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(pathological long-path graph? use a larger max_iter or the "
-            "star-contraction variant)"
+            "(pathological long-path graph? use connected_components_star "
+            "or raise max_iter)"
         )
     finally:
         edges.unpersist()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Star-contraction connected components: the adversarial-graph
+    variant of connected_components (same output contract).
+
+    Each round every node u computes m(u) = min(neighborhood ∪ {u}) and
+    every edge (u, v) is rewritten to (v, m(u)) — simultaneous pointer
+    doubling, so a path of length n collapses in O(log n) rounds where
+    min-label propagation needs n (the Kiveris et al. large-star /
+    small-star family; this is the symmetric min-contraction member).
+    Fixpoint = the edge set is a star per component (rewriting changes
+    nothing); labels then read directly off the edges. Per round: one
+    min aggregate, one co-partitioned join, one distinct — all
+    hash-partitioned on node id — with per-round localCheckpoint()
+    lineage truncation, exactly like the label-propagation loop."""
+    e_dir = pairs.select(
+        F.col(col_a).cast("long").alias("u"), F.col(col_b).cast("long").alias("v")
+    )
+    edges = (
+        e_dir.unionByName(e_dir.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        m = (
+            edges.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        )
+        rewritten = (
+            edges.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        new_edges = (
+            rewritten.unionByName(
+                rewritten.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            return (
+                edges.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+                .select(F.col("u").alias("node"), "component")
+            )
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )

@@ -619,3 +619,66 @@ def test_repetition_signals(spark, tmp_path):
     assert out[2]["repetitive"] and abs(out[2]["dup_line_frac"] - 0.4) < 1e-9
     assert not out[3]["repetitive"]
     assert out[3]["top_bigram_share"] < 0.02 and out[3]["dup_line_frac"] == 0.0
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """Star-contraction CC vs an exact union-find reference on random
+    graphs (varying density incl. multi-component + isolated chains),
+    plus the log-rounds property: a 64-node path converges under
+    max_iter=12 where label propagation needs ~diameter rounds."""
+    import random
+
+    from debezium_connector_spanner_spark.functions.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(99)
+    for trial in range(4):
+        n_nodes = rng.choice([12, 30, 60])
+        n_edges = rng.choice([n_nodes // 2, n_nodes, 2 * n_nodes])
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        if not edges:
+            continue
+        want = union_find(edges)
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_star(df, "doc_a", "doc_b").collect()
+        }
+        assert got == want, f"trial {trial}: {sorted(got.items())[:6]}..."
+        # label propagation agrees (diameter of random graphs is small)
+        got_label = {
+            r["node"]: r["component"]
+            for r in connected_components(df, "doc_a", "doc_b", max_iter=80).collect()
+        }
+        assert got_label == want
+
+    # pointer-doubling rounds: 64-node path collapses in O(log n)
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(path, "doc_a", "doc_b", max_iter=12).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 64
