@@ -43,16 +43,42 @@ def stream_events_into_table(
     max_files_per_trigger: int | None = None,
     sink_mode: str = "mor",
     compact_every: int = 4,
+    wire_format: str = "struct",
 ):
     """Run an availableNow streaming pass applying the log to the table.
 
+    ``wire_format`` mirrors the replay engine's dialect support:
+    'struct' (canonical parquet), 'proto' (length-delimited proto3,
+    numpy/Arrow kernel decode inside foreachBatch — the streaming source
+    already delivers only new files, so there is no pruning to preserve
+    above the decode) or 'pg_json' (Variant extraction). Pass the
+    matching log directory (events / events_proto / events_pg).
+
     Returns the StreamingQuery (already awaited to termination)."""
-    reader = spark.readStream.schema(EVENT_LOG_SCHEMA)
+    if wire_format == "proto":
+        from debezium_connector_spanner_spark.sources.proto_wire import (
+            PROTO_LOG_SCHEMA,
+            decode_proto_wire,
+        )
+
+        src_schema, wire_decode = PROTO_LOG_SCHEMA, decode_proto_wire
+    elif wire_format == "pg_json":
+        from debezium_connector_spanner_spark.sources.pg_json import (
+            PG_LOG_SCHEMA,
+            decode_pg_json,
+        )
+
+        src_schema, wire_decode = PG_LOG_SCHEMA, decode_pg_json
+    else:
+        src_schema, wire_decode = EVENT_LOG_SCHEMA, None
+    reader = spark.readStream.schema(src_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(events_dir)
 
     def apply_batch(df, batch_id: int):
+        if wire_decode is not None:
+            df = wire_decode(df)
         decoded = decode_mods(df, schema)
         folded = fold_changes(
             decoded,
