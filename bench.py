@@ -290,11 +290,15 @@ def main() -> None:
         extras.setdefault("new_ops_sec", {})[name] = round(time.monotonic() - t0, 3)
         extras.setdefault("rows", {})[name] = n
 
-    # round-4 operators (same treatment: timed in extras, not headline)
+    # round-4/5 operators (same treatment: timed in extras, not headline)
     for name, fn in (
         ("tpch_q7", ANALYTIC_QUERIES["tpch_q7"]),
         ("docs_decontaminate", PIPELINE_QUERIES["docs_decontaminate"]),
         ("docs_pack_sequences", PIPELINE_QUERIES["docs_pack_sequences"]),
+        ("docs_dup_clusters", PIPELINE_QUERIES["docs_dup_clusters"]),
+        ("docs_pii_scrub", PIPELINE_QUERIES["docs_pii_scrub"]),
+        ("docs_repetition", PIPELINE_QUERIES["docs_repetition"]),
+        ("emb_topk_lsh_recall", PIPELINE_QUERIES["emb_topk_lsh_recall"]),
     ):
         t0 = time.monotonic()
         n = fn(spark, sf_dir).count()
