@@ -612,6 +612,16 @@ def _str_col(
     starts = np.zeros(n, np.int64)
     lens[rows] = ve - vs
     starts[rows] = vs
+    total = int(lens.sum())
+    if total > np.iinfo(np.int32).max:
+        # utf8 arrays carry int32 offsets; a >2GB single Arrow batch
+        # would wrap silently. Unreachable at the default
+        # maxRecordsPerBatch (10k records), but fail loudly, not corrupt.
+        raise ValueError(
+            f"string column payload {total} bytes exceeds the 2GB Arrow "
+            "utf8 offset range; lower spark.sql.execution.arrow."
+            "maxRecordsPerBatch"
+        )
     offsets = np.zeros(n + 1, np.int32)
     offsets[1:] = np.cumsum(lens)
     buf = _gather(data, starts, lens)
