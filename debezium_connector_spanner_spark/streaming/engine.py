@@ -822,7 +822,6 @@ class CdcReplayEngine:
         # the second pruned parse it saves (26-31s either way at 411k
         # events). Per-job Catalyst pruning (ctrl never extracts mods,
         # the fold never reads column_types) is the winning shape.
-        persisted_scan = None
         if scan is not None:
             self.meter.on_query()  # one change-stream query per batch window
 
