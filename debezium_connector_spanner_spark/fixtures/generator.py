@@ -115,13 +115,18 @@ class GeneratorConfig:
     evolve_add_at: float = 0.40       # stars INT64 appears
     evolve_widen_at: float = 0.75     # stars -> FLOAT64
     content_len_max: int = 400
-    # small row groups keep the log splittable: scan parallelism must come
-    # from row-group splits, not partition-token count (few, coarse tokens).
-    # 4096 rows ~= 2MB keeps one row group per scan split even at the
-    # finest split size the session picks at high core counts — at 16384
-    # (~8MB) a 2MB split quantizes to whole row groups and the extra
-    # splits are empty, capping scan-stage wave packing
-    row_group_size: int = 4096
+    # Row-group sizing for the per-token event files. None (default) =
+    # scale-adaptive: ~256 row groups per token file, clamped to
+    # [4096, 131072] rows — see write_fixture. Small row groups keep the
+    # log splittable (scan parallelism must come from row-group splits,
+    # not partition-token count: few, coarse tokens), so the 4096 floor
+    # preserves the measured sf0.1 wave packing; but a FIXED 4096 at sf1
+    # gives the 2.8GB hot-token file 3000+ row groups whose footer every
+    # 2MB split re-parses (~0.3s each — the r5 bench-sf1 note measured
+    # 50s for an EMPTY pruned window at that layout), so the cap on
+    # groups-per-file bounds footer cost as the log grows 100x. An int
+    # pins the legacy fixed size.
+    row_group_size: int | None = None
 
     def keys(self) -> list[tuple[str, str]]:
         out = []
@@ -714,10 +719,15 @@ def write_fixture(out_dir: str, cfg: GeneratorConfig, force: bool = False) -> di
         )
         d = os.path.join(tmp, "events", f"partition_token={token}")
         os.makedirs(d, exist_ok=True)
+        # scale-adaptive row groups (cfg.row_group_size=None): ~256 groups
+        # per token file keeps commit_ts row-group pruning fine-grained
+        # while bounding the footer a scan split must re-parse; the 4096
+        # floor preserves small-fixture splittability (see GeneratorConfig)
+        rg = cfg.row_group_size or min(max(4096, -(-t.num_rows // 256)), 131072)
         pq.write_table(
             t,
             os.path.join(d, "part-0.parquet"),
-            row_group_size=cfg.row_group_size,
+            row_group_size=rg,
         )
     shutil.rmtree(spill)
 

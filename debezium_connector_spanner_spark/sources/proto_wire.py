@@ -505,17 +505,30 @@ import numpy as np  # noqa: E402  (kept with its section on purpose)
 import pyarrow as pa  # noqa: E402
 
 
-def _vec_varints(data: np.ndarray, pos0: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _vec_varints(
+    data: np.ndarray, pos0: np.ndarray, limits: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """Decode varints starting at positions pos0 into (values, end_pos).
 
     Lockstep over all positions: one numpy round per varint BYTE level
-    (log payloads need <=3 rounds for lengths, <=6 for timestamps)."""
+    (log payloads need <=3 rounds for lengths, <=6 for timestamps).
+    ``limits`` (aligned with pos0) bounds each varint to its wire region:
+    a varint still unterminated at its limit raises instead of silently
+    reading the next record's bytes (ADVICE r5 — matches the row-at-a-
+    time decode_record, which raises on the same truncated input)."""
     n = pos0.shape[0]
     val = np.zeros(n, np.uint64)
     pos = pos0.astype(np.int64).copy()
     shift = np.zeros(n, np.uint64)
     idx = np.arange(n, dtype=np.int64)
     while idx.size:
+        if limits is not None:
+            over = pos[idx] >= limits[idx]
+            if over.any():
+                raise ValueError(
+                    "truncated varint: record region ends mid-varint at "
+                    f"byte {int(pos[idx][np.flatnonzero(over)[0]])}"
+                )
         b = data[pos[idx]]
         val[idx] |= (b.astype(np.uint64) & 0x7F) << shift[idx]
         pos[idx] += 1
@@ -543,7 +556,8 @@ def _parse_events(
     idx = np.flatnonzero(pos < ends)
     while idx.size:
         kstart = pos[idx].copy()
-        key, p1 = _vec_varints(data, pos[idx])
+        lim = ends[idx]
+        key, p1 = _vec_varints(data, pos[idx], lim)
         field = key >> 3
         wire = key & 7
         bad = (wire != 0) & (wire != 2)
@@ -557,16 +571,24 @@ def _parse_events(
         vend = np.full(idx.size, -1, np.int64)
         w0 = np.flatnonzero(wire == 0)
         if w0.size:
-            v, p2 = _vec_varints(data, p1[w0])
+            v, p2 = _vec_varints(data, p1[w0], lim[w0])
             ival[w0] = v
             p1[w0] = p2
         w2 = np.flatnonzero(wire == 2)
         if w2.size:
-            ln, p2 = _vec_varints(data, p1[w2])
+            ln, p2 = _vec_varints(data, p1[w2], lim[w2])
+            over = p2 + ln > lim[w2]
+            if over.any():
+                raise ValueError(
+                    "length-delimited field overruns its record region "
+                    f"(field {int(field[w2][np.flatnonzero(over)[0]])})"
+                )
             vstart[w2] = p2
             vend[w2] = p2 + ln
             p1[w2] = p2 + ln
         pos[idx] = p1
+        # with the per-region bounds above pos never exceeds ends, so the
+        # loop's pos >= ends exit condition implies pos == ends exactly
         ev_rows.append(idx.copy())
         ev_f.append(field)
         ev_k.append(kstart)
@@ -790,11 +812,16 @@ def _decode_data_batch(
         return pa.array(arr)
 
     def enum_col(table: pa.Array, rws: np.ndarray, iv: np.ndarray) -> pa.Array:
+        # validate the RAW varint values before the int32 cast (ADVICE r5:
+        # a huge varint must not wrap past the range guard into a negative
+        # take index), and reject explicit zero like the row path's
+        # MOD_TYPE_NAME[v] / VCT_NAME[v] KeyError — only an ABSENT field
+        # (proto3 default) decodes to null
+        bad = (iv <= 0) | (iv >= len(table))
+        if bad.any():
+            raise KeyError(int(iv[np.flatnonzero(bad)[0]]))
         codes = np.zeros(nd, np.int32)
         codes[rws] = iv.astype(np.int32)
-        if codes.size and codes.max() >= len(table):
-            j = int(codes.argmax())
-            raise KeyError(int(codes[j]))  # same failure as MOD_TYPE_NAME[v]
         return table.take(pa.array(codes, type=pa.int32()))
 
     zeros = np.zeros(nd, np.int32)
@@ -885,7 +912,11 @@ def decode_proto_wire(log: DataFrame, include_mods: bool = True) -> DataFrame:
                     f"unexpected wire type {int(key0[j] & 7)} for field "
                     f"{int(key0[j] >> 3)}"
                 )
-            ln, p = _vec_varints(data, starts + 1)
+            ln, p = _vec_varints(data, starts + 1, ends)
+            if bool((p + ln > ends).any()):
+                raise ValueError(
+                    "ChangeStreamRecord envelope overruns its record bytes"
+                )
             rtype = (key0 >> 3).astype(np.int64)
             schema = _out_schema(tok.type, cts.type)
             idx_data = np.flatnonzero(rtype == 1)
