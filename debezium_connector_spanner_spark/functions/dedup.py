@@ -23,8 +23,8 @@ from debezium_connector_spanner_spark.functions.text import (
     lsh_bands,
     minhash_signature_udf,
     md5_hash64,
-    shingle_hashes,
     simhash64_udf,
+    word_ngrams,
     words,
 )
 
@@ -39,10 +39,24 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingled(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        shingle_hashes(F.col(text_col), n).alias("shingles"),
-    ).withColumn("set_size", F.size("shingles"))
+    # hoist the tokenization into its own projection: word_ngrams
+    # references the words array INSIDE a transform lambda, and Spark
+    # does no loop-invariant code motion in HOF lambdas — inlined, the
+    # split/lower/trim would re-run once per n-gram element (O(len^2)
+    # per doc). The alias is multi-referenced and non-cheap, so
+    # CollapseProject keeps it materialized. Same values, same oracles.
+    from debezium_connector_spanner_spark.functions.text import words
+
+    return (
+        df.select(F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("_w"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(word_ngrams(F.col("_w"), n), md5_hash64)
+            ).alias("shingles"),
+        )
+        .withColumn("set_size", F.size("shingles"))
+    )
 
 
 def jaccard_pairs_exact(

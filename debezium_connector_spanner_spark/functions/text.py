@@ -237,7 +237,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def rolling_fingerprint(
-    text_col: Column, window: int = 64, stride: int = 4
+    text_col: Column, window: int = 64, stride: int = 4, normalized: bool = False
 ) -> Column:
     """Document fingerprint: min rolling hash over character windows
     (winnowing-lite). Native: substring windows via sequence+transform.
@@ -246,8 +246,13 @@ def rolling_fingerprint(
     subsamples) — hashes/doc drop k-fold while the min stays robust to
     edits outside the minimizing window; stride=1 recovers the
     exhaustive scan. A 5k-doc sf0.1 table fingerprints in ~1.6 s at
-    stride 4 vs 6.4 s exhaustive (local[32])."""
-    c = F.lower(F.trim(text_col))
+    stride 4 vs 6.4 s exhaustive (local[32]).
+
+    ``normalized=True`` means text_col is ALREADY lower(trim(...)) —
+    pass a pre-projected column then: the normalization sits inside the
+    transform lambda here, and Spark HOFs do no loop-invariant hoisting,
+    so inlined it would re-run per window (O(len^2) per doc)."""
+    c = text_col if normalized else F.lower(F.trim(text_col))
     idx = F.sequence(
         F.lit(1),
         F.greatest(F.length(c) - window + 1, F.lit(1)),

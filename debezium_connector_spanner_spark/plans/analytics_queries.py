@@ -101,17 +101,34 @@ GROUP BY l_orderkey, o_orderdate_us
 
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style local-supplier revenue by nation (multi-way join
-    with two broadcast dims + co-partnered fact join)."""
+    with broadcast dims + shuffled fact-fact join).
+
+    Join strategy pinned (guide §3.1): without hints the planner's
+    post-pruning size estimate for LINEITEM (4 of 16 columns) slips under
+    the session's 64MB broadcast threshold and it broadcasts the FACT
+    table — measured 5.9 s at sf1 (vs ~1 s shape-correct), a
+    single-threaded driver build of a multi-hundred-MB hash relation
+    that only grows with SF. The hints broadcast the true dims and
+    shuffle-hash the orders<->lineitem equi-join (orders projects to two
+    narrow columns — cheap per-partition build side), the shape that
+    holds at 100x. Results identical; oracle unchanged."""
     for n in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
         _t(spark, sf_dir, n).createOrReplaceTempView(f"_v_{n}")
+    # lineitem FIRST so the fact-fact join is the first join node and the
+    # SHUFFLE_HASH hint binds to IT (a hint binds to the join whose side
+    # contains the hinted relation — listed last, orders' hint was
+    # consumed by the customer join and lineitem auto-broadcast anyway)
     return spark.sql(
         """
-        SELECT n_name,
+        SELECT /*+ BROADCAST(_v_customer), BROADCAST(_v_supplier),
+                   BROADCAST(_v_nation), BROADCAST(_v_region),
+                   SHUFFLE_HASH(_v_orders) */
+               n_name,
                sum(CAST(round(l_extendedprice*100) AS BIGINT)
                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4
-        FROM _v_customer
-        JOIN _v_orders   ON c_custkey = o_custkey
-        JOIN _v_lineitem ON l_orderkey = o_orderkey
+        FROM _v_lineitem
+        JOIN _v_orders   ON l_orderkey = o_orderkey
+        JOIN _v_customer ON c_custkey = o_custkey
         JOIN _v_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         JOIN _v_nation   ON s_nationkey = n_nationkey
         JOIN _v_region   ON n_regionkey = r_regionkey

@@ -193,13 +193,17 @@ def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_connector_spanner_spark.functions.text import rolling_fingerprint
 
     d = _t(spark, sf_dir, "documents")
-    c = F.lower(F.trim(F.col("text")))
-    n_pos = F.greatest(F.length(c) - 63, F.lit(1))
-    return d.select(
+    # normalize ONCE in a materialized projection: inlined, the
+    # lower(trim(...)) sits inside the window-transform lambda and Spark
+    # re-evaluates it per window (no HOF loop-invariant hoisting) —
+    # O(len^2) per doc; hoisted, one pass. Same values, same oracle.
+    norm = d.select("doc_id", F.lower(F.trim(F.col("text"))).alias("_t"))
+    n_pos = F.greatest(F.length("_t") - 63, F.lit(1))
+    return norm.select(
         "doc_id",
-        rolling_fingerprint(F.col("text"), window=64, stride=4).alias(
-            "fingerprint"
-        ),
+        rolling_fingerprint(
+            F.col("_t"), window=64, stride=4, normalized=True
+        ).alias("fingerprint"),
         (((n_pos - 1) / 4).cast("long") + 1).alias("n_windows"),
     )
 

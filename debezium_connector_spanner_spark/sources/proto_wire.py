@@ -504,6 +504,18 @@ def decode_proto_wire_pandas(log: DataFrame) -> DataFrame:
 import numpy as np  # noqa: E402  (kept with its section on purpose)
 import pyarrow as pa  # noqa: E402
 
+_ARANGE = np.arange(1 << 14, dtype=np.int64)
+
+
+def _arange(n: int) -> np.ndarray:
+    """Cached 0..n-1 (grown on demand): _vec_varints runs thousands of
+    times per batch and the fresh np.arange per call was a measurable
+    slice of the kernel profile. Callers must not mutate the view."""
+    global _ARANGE
+    if n > _ARANGE.shape[0]:
+        _ARANGE = np.arange(max(n, 2 * _ARANGE.shape[0]), dtype=np.int64)
+    return _ARANGE[:n]
+
 
 def _vec_varints(
     data: np.ndarray, pos0: np.ndarray, limits: np.ndarray | None = None
@@ -520,7 +532,7 @@ def _vec_varints(
     val = np.zeros(n, np.uint64)
     pos = pos0.astype(np.int64).copy()
     shift = np.zeros(n, np.uint64)
-    idx = np.arange(n, dtype=np.int64)
+    idx = _arange(n)  # read-only view; rebound (never mutated) below
     while idx.size:
         if limits is not None:
             over = pos[idx] >= limits[idx]
@@ -610,13 +622,25 @@ def _parse_events(
 
 
 def _gather(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Concatenate data[starts[i] : starts[i]+lens[i]] slices (row order)."""
+    """Concatenate data[starts[i] : starts[i]+lens[i]] slices (row order).
+
+    The gather index is built with ONE cumsum over a mostly-ones delta
+    array (value at each segment start jumps to that segment's source
+    position) instead of repeat(...) + arange(...) — ~2x fewer big
+    temporaries on the kernel's hottest path (profiled: _gather was the
+    top cost of the 411k-record decode)."""
     total = int(lens.sum())
     if total == 0:
         return np.empty(0, np.uint8)
-    seg0 = np.cumsum(lens) - lens
-    out_idx = np.repeat(starts - seg0, lens) + np.arange(total, dtype=np.int64)
-    return data[out_idx]
+    nz = np.flatnonzero(lens)
+    s, ln = starts[nz], lens[nz]
+    seg0 = np.cumsum(ln) - ln               # output offset of each segment
+    delta = np.ones(total, np.int64)
+    delta[0] = s[0]
+    if s.shape[0] > 1:
+        delta[seg0[1:]] = s[1:] - (s[:-1] + ln[:-1]) + 1
+    np.cumsum(delta, out=delta)
+    return data[delta]
 
 
 def _str_col(
@@ -656,12 +680,14 @@ def _str_col(
         validity = (
             None
             if nulls == 0
-            else pa.py_buffer(np.packbits(present, bitorder="little").tobytes())
+            else pa.py_buffer(np.packbits(present, bitorder="little"))
         )
+    # py_buffer wraps the freshly-built numpy memory zero-copy (it keeps
+    # the arrays alive); the old .tobytes() copied every payload byte twice
     return pa.Array.from_buffers(
         pa.utf8(),
         n,
-        [validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+        [validity, pa.py_buffer(offsets), pa.py_buffer(buf)],
         null_count=nulls,
     )
 
@@ -747,28 +773,50 @@ def _decode_data_batch(
     r12, _, s12, e12, _ = sel(12)
     r13, i13, _, _, _ = sel(13)
 
-    # column_types: memoized on the covering field-6 wire region
+    # column_types: memoized on the covering field-6 wire region. The
+    # per-record Python loop (411k dict probes + .tobytes() keys per
+    # 411k-event log — profiled as a top kernel cost) is replaced by
+    # run-length grouping: rows are bucketed by region LENGTH, each
+    # bucket's regions land in a (rows x L) uint8 matrix, and one
+    # vectorized row-vs-previous-row compare finds the run boundaries
+    # (schema regions repeat in long runs in a log-ordered batch; a
+    # np.unique(axis=0) dedup was tried first and its void-dtype argsort
+    # was 10x SLOWER than the Python loop). Only run heads pay a cache
+    # probe / decode; worst case (alternating schemas) degrades to the
+    # original per-row cost. Same memo key (region bytes), same output.
     kmin = np.full(nd, np.iinfo(np.int64).max, np.int64)
     vmax = np.full(nd, -1, np.int64)
     np.minimum.at(kmin, r6, k6)
     np.maximum.at(vmax, r6, e6)
-    ct_list: list[str] = [None] * nd  # type: ignore[list-item]
+    ct_arr = np.empty(nd, object)
     cache = _COLTYPES_REGION_CACHE
-    empty_json = None
-    for i in range(nd):
-        hi = vmax[i]
-        if hi < 0:
-            if empty_json is None:
-                empty_json = _decode_coltypes([])
-            ct_list[i] = empty_json
-            continue
-        key = data[kmin[i] : hi].tobytes()
-        ct = cache.get(key)
-        if ct is None:
-            m = r6 == i
-            raws = [data[s:e].tobytes() for s, e in zip(s6[m], e6[m])]
-            ct = cache[key] = _decode_coltypes(raws)
-        ct_list[i] = ct
+    no_region = np.flatnonzero(vmax < 0)
+    if no_region.size:
+        ct_arr[no_region] = _decode_coltypes([])
+    has = np.flatnonzero(vmax >= 0)
+    if has.size:
+        lens = vmax[has] - kmin[has]
+        for L in np.unique(lens):
+            rows_l = has[lens == L]
+            mat = data[kmin[rows_l][:, None] + np.arange(int(L), dtype=np.int64)]
+            change = np.empty(mat.shape[0], bool)
+            change[0] = True
+            if mat.shape[0] > 1:
+                np.any(mat[1:] != mat[:-1], axis=1, out=change[1:])
+            run_starts = np.flatnonzero(change)
+            run_ids = np.cumsum(change) - 1
+            run_cts = np.empty(run_starts.size, object)
+            for ri in range(run_starts.size):
+                r0 = int(run_starts[ri])
+                key = mat[r0].tobytes()
+                ct = cache.get(key)
+                if ct is None:
+                    m = r6 == int(rows_l[r0])
+                    raws = [data[s:e].tobytes() for s, e in zip(s6[m], e6[m])]
+                    ct = cache[key] = _decode_coltypes(raws)
+                run_cts[ri] = ct
+            ct_arr[rows_l] = run_cts[run_ids]
+    ct_list = ct_arr.tolist()
 
     if include_mods:
         # mods: regroup step-major occurrences into per-row order (stable)
