@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from debezium_connector_spanner_spark.functions.text import (
+    ensure_min_parallelism,
     lsh_bands,
     minhash_signature_udf,
     md5_hash64,
@@ -45,10 +46,9 @@ def shingled(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     # split/lower/trim would re-run once per n-gram element (O(len^2)
     # per doc). The alias is multi-referenced and non-cheap, so
     # CollapseProject keeps it materialized. Same values, same oracles.
-    from debezium_connector_spanner_spark.functions.text import words
-
     return (
-        df.select(F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("_w"))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("_w"))
         .select(
             "doc_id",
             F.array_distinct(
@@ -124,7 +124,10 @@ def minhash_lsh_pairs(
     4 rows the false-negative probability is ~(1-j^4)^32 < 1e-7.
     """
     rows = num_hashes // bands
-    s = shingled(df, id_col, text_col, n)
+    # materialize the shingle table ONCE: three consumers below (the
+    # signature pass and both sides of the verify join) would otherwise
+    # re-tokenize the corpus per branch
+    s = shingled(df, id_col, text_col, n).localCheckpoint()
     sig = s.withColumn("sig", minhash_signature_udf(num_hashes)(F.col("shingles")))
     banded = sig.select(
         "doc_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
@@ -137,14 +140,34 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    inv = s.select("doc_id", "set_size", F.explode("shingles").alias("sh"))
-    a = inv.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"), "sh")
-    b = inv.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"), "sh")
+    # exact verification on the CANDIDATE pairs via array_intersect of
+    # the (distinct) shingle arrays — two candidate-sized joins against
+    # the 1-row-per-doc shingle table. The old inverted-index verify
+    # shuffled the full (doc, shingle) explode TWICE (~300x corpus rows)
+    # just to count common shingles for a candidate set that is orders of
+    # magnitude smaller. n_common = |A ∩ B| is identical (arrays are
+    # array_distinct'd); a 0-common candidate now surfaces with jac=0/null
+    # and is dropped by the same threshold filter.
+    sa = s.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("_sha"),
+        F.col("set_size").alias("size_a"),
+    )
+    sb = s.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("_shb"),
+        F.col("set_size").alias("size_b"),
+    )
     verified = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "size_a",
+            "size_b",
+            F.size(F.array_intersect("_sha", "_shb")).alias("n_common"),
+        )
     )
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
     return verified.select(
@@ -154,6 +177,7 @@ def minhash_lsh_pairs(
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tok_hashes = F.transform(words(F.col(text_col)), md5_hash64)
+    df = ensure_min_parallelism(df)
     return df.select(
         F.col(id_col).alias("doc_id"),
         simhash64_udf()(tok_hashes).alias("simhash64"),

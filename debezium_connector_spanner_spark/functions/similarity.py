@@ -27,6 +27,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from debezium_connector_spanner_spark.functions.text import ensure_min_parallelism
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -76,7 +78,9 @@ def cosine_topk_bruteforce(
     per-query top-k via window. Ties broken by neighbor id for
     determinism. Self-matches excluded.
     """
-    c = with_norm(corpus, vec_col).select(
+    # corpus side: the per-row dot products are the cost; a single-row-
+    # group input file must not serialize them on one task (no-op at scale)
+    c = with_norm(ensure_min_parallelism(corpus), vec_col).select(
         F.col(id_col).alias("nbr_id"), "_v", F.col("_norm").alias("_nnorm")
     )
     q = with_norm(queries, vec_col).select(
@@ -146,7 +150,7 @@ def lsh_candidates(
         ]
     )
     c = (
-        with_norm(corpus, vec_col)
+        with_norm(ensure_min_parallelism(corpus), vec_col)
         .select(
             F.col(id_col).alias("nbr_id"),
             "_v",
@@ -270,7 +274,7 @@ def embedding_near_dup_pairs(
     degenerates — use the MinHash/Jaccard leg instead.
     """
     per_table = [hyperplanes(dim, n_planes, seed=11 + 97 * t) for t in range(n_tables)]
-    base = with_norm(corpus, vec_col)
+    base = with_norm(ensure_min_parallelism(corpus), vec_col)
     sigs = F.array(*[lsh_signature(F.col(vec_col), p) for p in per_table])
     keyed = base.select(
         F.col(id_col).alias("_id"), "_v", "_norm", sigs.alias("_sigs")
@@ -359,7 +363,7 @@ def cosine_topk_ivf(
     (native argmax, one pass); each query probes its n_probe best cells;
     candidates from the cell-id equi-join; exact rescore."""
     cents = ivf_centroids(dim, n_cells)
-    c = with_norm(corpus, vec_col).select(
+    c = with_norm(ensure_min_parallelism(corpus), vec_col).select(
         F.col(id_col).alias("nbr_id"),
         "_v",
         F.col("_norm").alias("_nnorm"),

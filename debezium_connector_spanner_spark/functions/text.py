@@ -19,6 +19,28 @@ from pyspark.sql.functions import pandas_udf
 MERSENNE = (1 << 61) - 1
 
 
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a COMPUTE-HEAVY input whose scan yields
+    fewer partitions than the session has cores — the driver testdata
+    tables are single-row-group parquet files, which cap any scan at ONE
+    working task no matter the split size (a split only owns the row
+    groups whose midpoint falls inside it), serializing per-row-expensive
+    operators (shingling, minhash, LSH signatures, rolling hashes) on one
+    core (guide §2.5: input skew from an unsplittable file).
+
+    Scale-adaptive by construction: when the input already has >= cores
+    partitions (any real multi-file/multi-row-group table, e.g. a 100 TB
+    corpus), this is a NO-OP — no shuffle is ever added at scale. The
+    shuffle it adds on the degenerate small-file case moves only the rows
+    the operator was about to process anyway. Results are unaffected
+    (row distribution only; every caller is per-row or key-aggregated)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def words(col: Column) -> Column:
     """Lowercased whitespace tokens; [] for blank text. Matches the
     DuckDB oracle: regexp_split_to_array(lower(trim(text)), '\\s+')."""
@@ -169,24 +191,48 @@ def lsh_bands(sig_col: Column, bands: int, rows: int) -> Column:
 
 
 def simhash64_udf(seed_unused: int = 0):
-    """64-bit SimHash over hashed tokens (Arrow-batched numpy bit fold)."""
+    """64-bit SimHash over hashed tokens, vectorized across the whole
+    Arrow batch: all documents' token hashes are concatenated, the
+    (n x 64) bit matrix summed per document via np.add.reduceat, and the
+    sign vote packed back to one BIGINT per doc — no per-document Python
+    loop (same treatment as the MinHash kernel; identical outputs)."""
 
     @pandas_udf(T.LongType())
     def _simhash(token_hashes: pd.Series) -> pd.Series:
+        arrs = [
+            np.asarray(v, dtype=np.int64).astype(np.uint64)
+            for v in token_hashes
+            if v is not None and len(v)
+        ]
+        shifts = np.arange(64, dtype=np.uint64)[None, :]
+        sigs: list[np.ndarray] = []
+        # chunk docs so the (n_hashes x 64) int8 bit matrix stays small
+        i = 0
+        while i < len(arrs):
+            j, tot = i, 0
+            while j < len(arrs) and (tot == 0 or tot + len(arrs[j]) <= 1 << 17):
+                tot += len(arrs[j])
+                j += 1
+            chunk = arrs[i:j]
+            starts = np.zeros(len(chunk), dtype=np.int64)
+            np.cumsum([len(c) for c in chunk[:-1]], out=starts[1:])
+            hc = np.concatenate(chunk)
+            bits = ((hc[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            cnt = np.add.reduceat(bits, starts, axis=0)          # (docs, 64)
+            n_doc = np.array([len(c) for c in chunk], np.int64)[:, None]
+            vote = (2 * cnt - n_doc) > 0                         # v_i > 0
+            sig = (vote.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+            sigs.append(sig.astype(np.int64))                    # two's complement
+            i = j
+        packed = np.concatenate(sigs) if sigs else np.empty(0, np.int64)
         out = []
-        for arr in token_hashes:
-            if arr is None or len(arr) == 0:
+        k = 0
+        for v in token_hashes:
+            if v is None or len(v) == 0:
                 out.append(0)
-                continue
-            h = np.asarray(arr, dtype=np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
-            )
-            v = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for i in np.nonzero(v > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(i)
-            out.append(int(sig.astype(np.int64)))  # two's complement to BIGINT
+            else:
+                out.append(int(packed[k]))
+                k += 1
         return pd.Series(out)
 
     return _simhash
@@ -210,8 +256,11 @@ def stopword_ratio(words_col: Column, lang: str) -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: token count, mean word length, punct and
-    digit ratios, stopword ratio — all Catalyst-native."""
-    w = words(F.col(text_col))
+    digit ratios, stopword ratio — all Catalyst-native. The token array
+    is hoisted into its own projection: inlined it would re-tokenize the
+    document once per consuming feature column (5x)."""
+    df = df.withColumn("_wq", words(F.col(text_col)))
+    w = F.col("_wq")
     n_chars = F.length(text_col)
     return df.withColumns(
         {
@@ -233,7 +282,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).otherwise(F.lit(0.0)),
             "stopword_ratio_en": stopword_ratio(w, "en"),
         }
-    )
+    ).drop("_wq")
 
 
 def rolling_fingerprint(

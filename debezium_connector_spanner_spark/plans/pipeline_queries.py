@@ -192,7 +192,11 @@ def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical window/hash pipeline."""
     from debezium_connector_spanner_spark.functions.text import rolling_fingerprint
 
-    d = _t(spark, sf_dir, "documents")
+    from debezium_connector_spanner_spark.functions.text import (
+        ensure_min_parallelism,
+    )
+
+    d = ensure_min_parallelism(_t(spark, sf_dir, "documents"))
     # normalize ONCE in a materialized projection: inlined, the
     # lower(trim(...)) sits inside the window-transform lambda and Spark
     # re-evaluates it per window (no HOF loop-invariant hoisting) —
@@ -256,7 +260,10 @@ def q_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_connector_spanner_spark.functions.text import STOPWORDS, words
 
     d = _t(spark, sf_dir, "documents")
-    w = words(F.col("text"))
+    # hoist the token array: inlined it is re-evaluated once per
+    # candidate language's score struct (4x tokenization per row)
+    d = d.withColumn("_w", words(F.col("text")))
+    w = F.col("_w")
     scores = []
     for lang, sw in sorted(STOPWORDS.items()):
         arr = F.array(*[F.lit(x) for x in sw])

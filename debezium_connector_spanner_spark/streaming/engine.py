@@ -362,6 +362,36 @@ class CdcReplayEngine:
 
         self.meter = EngineMeter()
         self.meter.event_queue_total_capacity = self.max_events_per_batch
+        # Scale-adaptive scan split size (guide §2.2/§6.1): a fixed split
+        # size cannot serve both ends — a batch window scans ~log_bytes/
+        # n_batches, and the split size should put ~4 task waves on the
+        # cores working on THAT volume. At sf0.1 (1.3GB log, 8 batches)
+        # this lands on the session's 2MB floor (the swept local optimum);
+        # at sf1 (13.4GB) a 2MB split spawns ~6,600 tasks per scan of
+        # which >90% own no row group — measured 6.8s vs 0.4s for the SAME
+        # pruned window at 13/32MB splits (tools/diag_scan_cost.py). The
+        # value is derived from input size and core count, never a
+        # constant tuned to one scale; _run() sets it for the replay's
+        # jobs and close() restores the session default.
+        self._scan_split_bytes = None
+        try:
+            sub = {"pg_json": "events_pg", "proto": "events_proto"}.get(
+                self.wire_format, "events"
+            )
+            ev_dir = os.path.join(self.events_path, sub)
+            total = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(ev_dir)
+                for f in fs
+            )
+            cores = max(1, spark.sparkContext.defaultParallelism)
+            per_batch = total / max(1, self.n_batches)
+            self._scan_split_bytes = int(
+                min(max(per_batch / (4 * cores), 2 * 1024 * 1024), 64 * 1024 * 1024)
+            )
+        except OSError:
+            pass  # missing dir (exotic tests): keep the session default
+        self._prev_split_conf = None
 
     # ------------------------------------------------------------- layout
     def _table_path(self, name: str) -> str:
@@ -456,6 +486,14 @@ class CdcReplayEngine:
                 pool.shutdown(wait=True, cancel_futures=True)
                 setattr(self, attr, None)
         self._compact_futures.clear()
+        # restore the session's scan split size (the adaptive value is
+        # scoped to this replay's jobs; queries after run() see the
+        # session default again)
+        if self._prev_split_conf is not None:
+            self.spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", self._prev_split_conf
+            )
+            self._prev_split_conf = None
 
     def _checkpoint(self, snapshot_ids: dict[str, int], sync: bool = False) -> None:
         state = {
@@ -618,6 +656,13 @@ class CdcReplayEngine:
         # per-batch worker threads inherit this via InheritableThreadLocal.
         # The maintenance lane overrides to 'maint' in its own thread.
         self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", "ingest")
+        if self._scan_split_bytes is not None and self._prev_split_conf is None:
+            self._prev_split_conf = self.spark.conf.get(
+                "spark.sql.files.maxPartitionBytes"
+            )
+            self.spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", str(self._scan_split_bytes)
+            )
         done = 0
         totals = {"events": 0, "mods": 0, "wall_s": 0.0}
 

@@ -80,8 +80,14 @@ def dtype_mismatches(spark_dtypes, con, sql) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark(app_name="check-oracles")
     con = duckdb.connect()
     for t in TABLES:
@@ -92,6 +98,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -110,9 +117,21 @@ def main():
         t_duck = time.time() - t0
         ok_cols = sorted(cols) == sorted(ocols)
         ok_rows = len(rows) == len(orows)
-        ok_hash = ok_cols and value_hash(cols, rows) == value_hash(ocols, orows)
+        vh = value_hash(cols, rows)
+        ok_hash = ok_cols and vh == value_hash(ocols, orows)
         dt_bad = dtype_mismatches(df.dtypes, con, oracles[name])
         status = "OK " if (ok_cols and ok_rows and ok_hash and not dt_bad) else "FAIL"
+        report[name] = {
+            "rows_match": ok_rows,
+            "schema_match": ok_cols,
+            "hash_match": ok_hash,
+            "dtypes_match": not dt_bad,
+            "spark_rows": len(rows),
+            "oracle_rows": len(orows),
+            "value_hash": vh,
+            "spark_wall_s": round(t_spark, 2),
+            "duck_wall_s": round(t_duck, 2),
+        }
         print(
             f"{name:28s} {status} rows={len(rows):7d}/{len(orows):7d} "
             f"cols={'=' if ok_cols else 'DIFF'} hash={'=' if ok_hash else 'DIFF'} "
@@ -133,6 +152,12 @@ def main():
                 o_set = {tuple(norm(r[i]) for i in oorder) for r in orows}
                 print("   only-spark:", list(s_set - o_set)[:3])
                 print("   only-duck :", list(o_set - s_set)[:3])
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(report, f, indent=1)
+        print(f"wrote {json_out} ({len(report)} queries)")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
